@@ -79,6 +79,8 @@ class Options:
     batch_size: int = 1 << 18       # reads per device batch
     device_parity: bool = True      # f64 EM accumulation
 
+    call: str = "kallisto-tpu"      # command line echoed into run_info.json
+
     @property
     def paired(self) -> bool:
         return not self.single_end and not self.long_read

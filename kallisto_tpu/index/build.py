@@ -57,10 +57,15 @@ class TpuIndex:
     ec_ptr: np.ndarray               # [NR+1] int64
     ec_tx: np.ndarray                # [nnz] int32
 
-    # per-block (transcript, pos|sense) payload, trid-sorted
+    # per-block (transcript, pos|sense) payload, trid-sorted.  bp_rstart /
+    # bp_rstop give the covering run's unitig k-mer interval so transcript
+    # coordinates can be recovered anywhere in the block
+    # (reference: KmerIndex::findPosition, src/KmerIndex.cpp:2188-2292)
     bp_ptr: np.ndarray               # [NB+1] int64
     bp_tx: np.ndarray                # [bnnz] int32
     bp_pos: np.ndarray               # [bnnz] uint32  (tpos | 0x80000000 if antisense)
+    bp_rstart: np.ndarray            # [bnnz] int32
+    bp_rstop: np.ndarray             # [bnnz] int32
 
     # unitigs
     unitig_nkmers: np.ndarray        # [U] int32 (#k-mers = length - k + 1)
@@ -395,6 +400,8 @@ def _build_blocks(
     block_end: List[int] = []
     bp_tx_parts: List[np.ndarray] = []
     bp_pos_parts: List[np.ndarray] = []
+    bp_rstart_parts: List[np.ndarray] = []
+    bp_rstop_parts: List[np.ndarray] = []
     bp_counts: List[int] = []
 
     ec_rows: Dict[Tuple[int, ...], int] = {}
@@ -415,6 +422,8 @@ def _build_blocks(
             block_ec.append(-1)
             bp_tx_parts.append(empty_tx)
             bp_pos_parts.append(empty_pos)
+            bp_rstart_parts.append(empty_tx)
+            bp_rstop_parts.append(empty_tx)
             bp_counts.append(0)
             continue
         starts = run_start[lo:hi]
@@ -430,12 +439,14 @@ def _build_blocks(
             cover = (starts <= bs) & (stops >= be)
             tx = trids[cover]
             px = poss[cover]
+            rs = starts[cover]
+            re = stops[cover]
             # dedup repeated trids (same transcript covering via multiple
             # runs); keep the first (runs are trid-sorted, stable)
             if tx.shape[0] > 1:
                 keep = np.ones(tx.shape[0], bool)
                 keep[1:] = tx[1:] != tx[:-1]
-                tx, px = tx[keep], px[keep]
+                tx, px, rs, re = tx[keep], px[keep], rs[keep], re[keep]
             key = tuple(int(t) for t in tx)
             row = ec_rows.setdefault(key, len(ec_rows))
             block_uid.append(u)
@@ -444,6 +455,8 @@ def _build_blocks(
             block_ec.append(row)
             bp_tx_parts.append(tx)
             bp_pos_parts.append(px)
+            bp_rstart_parts.append(rs)
+            bp_rstop_parts.append(re)
             bp_counts.append(tx.shape[0])
 
     NB = len(block_uid)
@@ -469,6 +482,16 @@ def _build_blocks(
         if bp_pos_parts
         else np.empty(0, np.uint32)
     )
+    bp_rstart = (
+        np.concatenate(bp_rstart_parts).astype(np.int32)
+        if bp_rstart_parts
+        else np.empty(0, np.int32)
+    )
+    bp_rstop = (
+        np.concatenate(bp_rstop_parts).astype(np.int32)
+        if bp_rstop_parts
+        else np.empty(0, np.int32)
+    )
 
     return (
         np.array(block_uid, np.int32),
@@ -480,6 +503,8 @@ def _build_blocks(
         bp_ptr,
         bp_tx,
         bp_pos,
+        bp_rstart,
+        bp_rstop,
     )
 
 
@@ -503,7 +528,7 @@ def build_index(
     runs = _transcript_runs(san.seqs, k, keys, kmer_uid, kmer_pos, kmer_fw)
     (
         block_uid, block_start, block_end, block_ec,
-        ec_ptr, ec_tx, bp_ptr, bp_tx, bp_pos,
+        ec_ptr, ec_tx, bp_ptr, bp_tx, bp_pos, bp_rstart, bp_rstop,
     ) = _build_blocks(len(chains), unitig_nkmers, *runs, max_ec_size)
 
     # per-kmer block id: blocks are emitted unitig-major with ascending
@@ -540,6 +565,8 @@ def build_index(
         bp_ptr=bp_ptr,
         bp_tx=bp_tx,
         bp_pos=bp_pos,
+        bp_rstart=bp_rstart,
+        bp_rstop=bp_rstop,
         unitig_nkmers=unitig_nkmers,
         unitig_seq_off=useq_off,
         unitig_seq=useq,

@@ -1,0 +1,214 @@
+"""Dynamic equivalence-class discovery and counting (host side).
+
+The reference maintains a mutable hash map Roaring-set -> EC id that worker
+threads race to update under transfer locks (reference:
+src/MinCollector.cpp:251-269, src/ProcessReads.cpp:1148-1161, 424-646).
+Here the device reduces each read to its sorted set of distinct EC *rows*
+(static index content rows); the host then:
+
+1. deduplicates row-set keys per batch (np.unique over the padded key
+   matrix) -- thousands of unique keys per million reads,
+2. resolves each new key once: intersect the row transcript lists with the
+   reference's non-strict paired rules (src/MinCollector.cpp:160-218),
+3. counts final per-read transcript sets, assigning EC ids in first-seen
+   read order (deterministic, matching a single-threaded reference run).
+
+Resolution (key -> transcript set) and counting (set -> EC id, += count)
+are separate because filters (fragment-length position filter, strand
+specificity) may shrink a read's set *after* resolution but *before*
+counting, and only counted sets enter the EC map
+(reference: ProcessReads.cpp:1091-1161).
+"""
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+INT32_MAX = np.int32(2**31 - 1)
+
+
+class EcResolver:
+    def __init__(self, index):
+        self.ec_ptr = index.ec_ptr
+        self.ec_tx = index.ec_tx
+        self.num_onlist = index.num_onlist
+        self.has_offlist = index.num_onlist < index.num_trans + index.dlist_keys.shape[0]
+        # dynamic EC map: key = sorted transcript-id int32 bytes -> ec id
+        self.ecmapinv: Dict[bytes, int] = {}
+        self.ec_sets: List[np.ndarray] = []
+        self.counts: List[int] = []
+        # cache: raw row-set key bytes -> resolved transcript set (or None)
+        self._key_cache: Dict[bytes, Optional[np.ndarray]] = {}
+
+    # -- EC id management ------------------------------------------------
+
+    def ec_id_for(self, u: np.ndarray) -> int:
+        """Find or create the EC id for a sorted transcript set
+        (reference: MinCollector::increaseCount, src/MinCollector.cpp:251)."""
+        kb = u.astype(np.int32).tobytes()
+        ec = self.ecmapinv.get(kb)
+        if ec is None:
+            ec = len(self.ec_sets)
+            self.ecmapinv[kb] = ec
+            self.ec_sets.append(u.astype(np.int32))
+            self.counts.append(0)
+        return ec
+
+    def _row(self, r: int) -> np.ndarray:
+        return self.ec_tx[self.ec_ptr[r] : self.ec_ptr[r + 1]]
+
+    def _intersect_rows(self, rows: np.ndarray) -> np.ndarray:
+        """Intersection of the transcript lists of non-empty EC rows.
+
+        Content-equivalent to MinCollector::intersectECs
+        (src/MinCollector.cpp:425-496): empty/wildcard rows never reach here
+        (the device already dropped them) and duplicate rows are idempotent.
+        """
+        u = self._row(int(rows[0]))
+        for r in rows[1:]:
+            if u.shape[0] == 0:
+                break
+            u = _intersect_sorted(u, self._row(int(r)))
+        return u
+
+    def _union_rows(self, rows: np.ndarray) -> np.ndarray:
+        u = self._row(int(rows[0]))
+        for r in rows[1:]:
+            u = np.union1d(u, self._row(int(r)))
+        return u
+
+    # -- key resolution --------------------------------------------------
+
+    def _resolve_key(
+        self, key: np.ndarray, R: int, paired: bool, do_union: bool
+    ) -> Optional[np.ndarray]:
+        """Resolve one deduplicated read key -> transcript set (None = none).
+
+        key layout: [rows1 (R), rows2 (R if paired), flags] where flags bit0 =
+        mate1 had any k-mer hit, bit1 = mate2 did.  Implements the non-strict
+        paired intersection (reference: MinCollector::intersectKmers,
+        src/MinCollector.cpp:160-218): a mate with hits but an empty EC
+        intersection vetoes the fragment; a mate with no hits at all defers
+        to the other mate.
+        """
+        kb = key.tobytes()
+        if kb in self._key_cache:
+            return self._key_cache[kb]
+
+        rows1 = key[:R]
+        rows1 = rows1[rows1 != INT32_MAX]
+        if paired:
+            rows2 = key[R : 2 * R]
+            rows2 = rows2[rows2 != INT32_MAX]
+            flags = int(key[2 * R])
+            hits1, hits2 = bool(flags & 1), bool(flags & 2)
+        else:
+            rows2 = np.empty(0, np.int32)
+            hits1, hits2 = bool(int(key[R]) & 1), False
+
+        combine = self._union_rows if do_union else self._intersect_rows
+        u1 = combine(rows1) if rows1.shape[0] else np.empty(0, np.int32)
+        u2 = combine(rows2) if rows2.shape[0] else np.empty(0, np.int32)
+
+        u: Optional[np.ndarray]
+        if u1.shape[0] == 0 and u2.shape[0] == 0:
+            u = None
+        elif u1.shape[0] == 0:
+            u = u2 if not hits1 else None
+        elif u2.shape[0] == 0:
+            if paired:
+                u = u1 if not hits2 else None
+            else:
+                u = u1
+        else:
+            u = _intersect_sorted(u1, u2)
+            if u.shape[0] == 0:
+                u = None
+
+        # off-list mask (u &= onlist_sequences, ProcessReads.cpp:1072);
+        # a no-op until D-list support adds off-list pseudo-targets
+        if u is not None and self.has_offlist:
+            u = u[u < self.num_onlist]
+        if u is not None and u.shape[0] == 0:
+            u = None
+
+        self._key_cache[kb] = u
+        return u
+
+    # -- batch processing ------------------------------------------------
+
+    def resolve_batch(
+        self,
+        rows1: np.ndarray,
+        has_hits1: np.ndarray,
+        rows2: Optional[np.ndarray] = None,
+        has_hits2: Optional[np.ndarray] = None,
+        do_union: bool = False,
+    ) -> Tuple[np.ndarray, List[Optional[np.ndarray]]]:
+        """Deduplicate and resolve a batch.
+
+        Returns (read_uidx [B] indices into uniq_sets, uniq_sets); entries of
+        uniq_sets are sorted transcript-id arrays or None (fragment rejected).
+        """
+        B, R = rows1.shape
+        paired = rows2 is not None
+        if paired:
+            flags = (has_hits1.astype(np.int32) + 2 * has_hits2.astype(np.int32))[:, None]
+            keys = np.concatenate([rows1, rows2, flags], axis=1)
+        else:
+            flags = has_hits1.astype(np.int32)[:, None]
+            keys = np.concatenate([rows1, flags], axis=1)
+
+        uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
+        uniq_sets = [
+            self._resolve_key(uniq[qi], R, paired, do_union)
+            for qi in range(uniq.shape[0])
+        ]
+        return inverse.reshape(-1), uniq_sets
+
+    def count_batch(
+        self,
+        final_idx: np.ndarray,
+        final_sets: List[Optional[np.ndarray]],
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Count one batch of resolved reads (in read order).
+
+        final_idx: [B] per-read index into final_sets (entries mapping to
+        None are unmapped).  Assigns EC ids to new transcript sets at their
+        first counted read, in read order, then accumulates counts.
+        Returns (read_ec [B] with -1 for unmapped, read_card [B]).
+        """
+        uniq_f, first_idx, inv_f = np.unique(
+            final_idx, return_index=True, return_inverse=True
+        )
+        occ = np.bincount(inv_f, minlength=uniq_f.shape[0])
+        ec_of = np.full(uniq_f.shape[0], -1, np.int64)
+        card_of = np.zeros(uniq_f.shape[0], np.int64)
+        for qi in np.argsort(first_idx, kind="stable"):
+            s = final_sets[int(uniq_f[qi])]
+            if s is None or s.shape[0] == 0:
+                continue
+            ec = self.ec_id_for(s)
+            self.counts[ec] += int(occ[qi])
+            ec_of[qi] = ec
+            card_of[qi] = s.shape[0]
+        return ec_of[inv_f], card_of[inv_f]
+
+    # -- outputs ---------------------------------------------------------
+
+    def counts_array(self) -> np.ndarray:
+        return np.array(self.counts, np.int64)
+
+    def num_unique_reads(self) -> int:
+        return sum(c for c, s in zip(self.counts, self.ec_sets) if s.shape[0] == 1)
+
+
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two sorted unique int arrays."""
+    if a.shape[0] == 0 or b.shape[0] == 0:
+        return np.empty(0, a.dtype)
+    if a.shape[0] > b.shape[0]:
+        a, b = b, a
+    idx = np.searchsorted(b, a)
+    idx[idx >= b.shape[0]] = b.shape[0] - 1
+    return a[b[idx] == a]

@@ -1,0 +1,185 @@
+"""The EM abundance quantifier as a dense batched JAX program.
+
+Replaces the reference's per-EC hash-map loop (EMAlgorithm::run,
+src/EMAlgorithm.h:95-375) with segment reductions over a flattened
+EC -> transcript CSR:
+
+  per iteration:
+    s_ec        = segment_sum(alpha[tx] / eff_len[tx])          (denominator)
+    next_alpha  = singleton_counts
+                + scatter_add(count_ec * alpha[tx] / (eff_len[tx] * s_ec))
+
+The reference's weights w[ec][i] = count_ec / eff_len_t (src/weights.cpp:
+220-246) make its update next += w*alpha*count/denom with denom =
+sum(alpha*w) = count * s; the count factor cancels exactly as above, with
+the same skip conditions (count == 0; denom < denorm_min).
+
+Convergence matches EMAlgorithm.h:171-222: stop when no transcript with
+next_alpha > 1e-2 changes by more than 1% relative, after min_rounds; then
+zero out alpha < 1e-8 and run one final iteration.
+
+Runs in float64.  On CPU (the default for the small EM problem) this is
+native; the bootstrap path vmaps the same update in float32 on the TPU.
+"""
+
+from functools import partial
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import (
+    EM_ALPHA_CHANGE,
+    EM_ALPHA_CHANGE_LIMIT,
+    EM_ALPHA_LIMIT,
+    EM_TOLERANCE,
+)
+
+
+class EmProblem(NamedTuple):
+    """Flattened EC->transcript structure for the EM update."""
+
+    num_trans: int            # static
+    singleton_tx: np.ndarray  # [S] transcript of each singleton EC
+    singleton_ec: np.ndarray  # [S] ec id of each singleton EC
+    flat_tx: np.ndarray       # [M] transcript ids of multi-tx ECs
+    flat_ec: np.ndarray       # [M] position of the owning EC in the multi list
+    multi_ec_ids: np.ndarray  # [E] original ec ids of multi-tx ECs
+
+
+def build_em_problem(ec_sets: List[np.ndarray], num_trans: int) -> EmProblem:
+    singleton_tx, singleton_ec = [], []
+    flat_tx, flat_ec, multi_ec_ids = [], [], []
+    for ec, s in enumerate(ec_sets):
+        if s.shape[0] == 1:
+            singleton_tx.append(int(s[0]))
+            singleton_ec.append(ec)
+        elif s.shape[0] > 1:
+            flat_tx.append(s)
+            flat_ec.append(np.full(s.shape[0], len(multi_ec_ids), np.int32))
+            multi_ec_ids.append(ec)
+    return EmProblem(
+        num_trans=num_trans,
+        singleton_tx=np.array(singleton_tx, np.int32),
+        singleton_ec=np.array(singleton_ec, np.int64),
+        flat_tx=(
+            np.concatenate(flat_tx).astype(np.int32)
+            if flat_tx else np.empty(0, np.int32)
+        ),
+        flat_ec=(
+            np.concatenate(flat_ec).astype(np.int32)
+            if flat_ec else np.empty(0, np.int32)
+        ),
+        multi_ec_ids=np.array(multi_ec_ids, np.int64),
+    )
+
+
+def _em_iteration(alpha, singleton_alpha, flat_tx, flat_ec, multi_counts, inv_eff, num_multi):
+    """One reference-exact EM update (shared by quant and bootstrap)."""
+    a_over_l = alpha[flat_tx] * inv_eff[flat_tx]
+    s_ec = jax.ops.segment_sum(a_over_l, flat_ec, num_segments=num_multi)
+    denom = multi_counts * s_ec
+    valid = (multi_counts > 0) & (denom >= EM_TOLERANCE)
+    scale = jnp.where(valid, multi_counts / jnp.where(s_ec > 0, s_ec, 1.0), 0.0)
+    contrib = a_over_l * scale[flat_ec]
+    return singleton_alpha + jax.ops.segment_sum(
+        contrib, flat_tx, num_segments=alpha.shape[0]
+    )
+
+
+@partial(jax.jit, static_argnames=("num_trans", "num_multi", "n_iter", "min_rounds"))
+def _run_em_jax(
+    singleton_alpha,   # [T] f64: counts of singleton ECs scattered to their tx
+    flat_tx,           # [M] int32
+    flat_ec,           # [M] int32
+    multi_counts,      # [E] f64
+    inv_eff,           # [T] f64 (1 / eff_len)
+    num_trans: int,
+    num_multi: int,
+    n_iter: int,
+    min_rounds: int,
+):
+    alpha0 = jnp.full(num_trans, 1.0 / num_trans, jnp.float64)
+
+    def body(state):
+        alpha, i, final_round, done, before = state
+        next_alpha = _em_iteration(
+            alpha, singleton_alpha, flat_tx, flat_ec, multi_counts, inv_eff, num_multi
+        )
+        changed = (next_alpha > EM_ALPHA_CHANGE_LIMIT) & (
+            jnp.abs(next_alpha - alpha) / jnp.where(next_alpha > 0, next_alpha, 1.0)
+            > EM_ALPHA_CHANGE
+        )
+        chcount = jnp.sum(changed)
+        stop_em = (chcount == 0) & (i > min_rounds)
+        done_now = final_round          # the previous iteration started the
+        #                                 final round; this update was it
+        start_final = stop_em & ~final_round
+        alpha_out = jnp.where(
+            start_final & (next_alpha < EM_ALPHA_LIMIT / 10.0), 0.0, next_alpha
+        )
+        before = jnp.where(start_final, next_alpha, before)
+        return (alpha_out, i + 1, final_round | start_final, done_now, before)
+
+    def cond(state):
+        _, i, _, done, _ = state
+        return (~done) & (i < n_iter)
+
+    init = (alpha0, jnp.int64(0), jnp.bool_(False), jnp.bool_(False), alpha0)
+    alpha, i, final_round, done, before_zeroes = jax.lax.while_loop(cond, body, init)
+    # if we ran out of iterations without converging, alpha_before_zeroes
+    # is simply the final alpha (reference: EMAlgorithm.h:359-365)
+    before_zeroes = jnp.where(done, before_zeroes, alpha)
+    # the reference reports the 0-based index at break (EMAlgorithm.h:369)
+    n_rounds = jnp.where(done, i - 1, i)
+    return alpha, before_zeroes, n_rounds
+
+
+class EmResult(NamedTuple):
+    alpha: np.ndarray
+    alpha_before_zeroes: np.ndarray
+    n_rounds: int
+
+
+def run_em(
+    problem: EmProblem,
+    counts: np.ndarray,
+    eff_lens: np.ndarray,
+    n_iter: int = 10000,
+    min_rounds: int = 50,
+) -> EmResult:
+    """Run the EM to convergence (host/CPU device, float64)."""
+    T = problem.num_trans
+    singleton_alpha = np.zeros(T, np.float64)
+    if problem.singleton_tx.size:
+        # next_alpha[t] = counts[singleton ec of t] (assignment; each t has
+        # at most one singleton EC) -- reference: EMAlgorithm.h:119-123
+        singleton_alpha[problem.singleton_tx] = counts[problem.singleton_ec]
+    multi_counts = counts[problem.multi_ec_ids].astype(np.float64)
+    inv_eff = 1.0 / eff_lens.astype(np.float64)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        alpha, before, i = _run_em_jax(
+            jnp.asarray(singleton_alpha),
+            jnp.asarray(problem.flat_tx),
+            jnp.asarray(problem.flat_ec),
+            jnp.asarray(multi_counts),
+            jnp.asarray(inv_eff),
+            num_trans=T,
+            num_multi=int(problem.multi_ec_ids.shape[0]),
+            n_iter=n_iter,
+            min_rounds=min_rounds,
+        )
+    return EmResult(
+        alpha=np.asarray(alpha),
+        alpha_before_zeroes=np.asarray(before),
+        n_rounds=int(i),
+    )
+
+
+def counts_to_tpm(est_counts: np.ndarray, eff_lens: np.ndarray) -> np.ndarray:
+    """reference: counts_to_tpm (src/PlaintextWriter.cpp:5-27)."""
+    tpm = est_counts / eff_lens
+    return tpm / tpm.sum() * 1e6

@@ -1,0 +1,345 @@
+"""End-to-end quantification: FASTQ -> device pseudoalignment -> EC counts
+-> EM -> abundance outputs.
+
+Mirrors the `kallisto quant` control flow (reference: src/main.cpp:2620-2798,
+src/ProcessReads.cpp:189-252,968-1237) with the per-read hot loop replaced by
+batched device execution + deterministic host reductions.
+"""
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .. import KALLISTO_COMPAT_VERSION
+from ..common import MAX_FRAG_LEN, Options, REFERENCE_INDEX_VERSION
+from ..index import load_index
+from ..index.build import TpuIndex
+from ..io import writers
+from ..io.fastx import paired_batches, single_batches, ReadBatch
+from ..ops.pseudoalign import (
+    DeviceIndex,
+    device_index_from_host,
+    pair_fragment_lengths,
+    pseudoalign_batch,
+)
+from .ecmap import EcResolver
+from .em import EmResult, build_em_problem, counts_to_tpm, run_em
+from .fld import (
+    calc_eff_lens,
+    compute_mean_frag_lens_trunc,
+    get_frag_len_means,
+    trunc_gaussian_counts,
+    trunc_gaussian_fld,
+)
+
+_FLEN_GOAL = 10000  # reference: ProcessReads.cpp:985
+
+
+@dataclass
+class QuantResult:
+    target_names: List[str]
+    target_lens: np.ndarray
+    eff_lens: np.ndarray
+    est_counts: np.ndarray
+    tpm: np.ndarray
+    em: EmResult
+    counts: np.ndarray
+    ec_sets: List[np.ndarray]
+    flens: np.ndarray
+    num_processed: int
+    num_pseudoaligned: int
+    num_unique: int
+    fld: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
+
+
+def _pad_batch(batch: ReadBatch, k: int, pad_to: int = 32) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad read length to a bucket so jit recompiles rarely."""
+    B, L = batch.codes.shape
+    L_target = max(((max(L, k) + pad_to - 1) // pad_to) * pad_to, k + pad_to - 1)
+    if L_target > L:
+        pad = np.full((B, L_target - L), 4, np.uint8)
+        codes = np.concatenate([batch.codes, pad], axis=1)
+    else:
+        codes = batch.codes
+    return codes, batch.lens
+
+
+class _SideArrays:
+    """Host copies of one mate's device results."""
+
+    def __init__(self, res):
+        self.rows = np.asarray(res.rows)
+        self.n_rows = np.asarray(res.n_rows)
+        self.has_hits = np.asarray(res.has_hits)
+        self.overflow = np.asarray(res.overflow)
+        self.f_uid = np.asarray(res.f_uid)
+        self.f_block = np.asarray(res.f_block)
+        self.f_upos = np.asarray(res.f_upos)
+        self.f_rpos = np.asarray(res.f_rpos)
+        self.f_strand = np.asarray(res.f_strand)
+
+
+class FldPositionFilter:
+    """Drop transcripts whose inferred fragment would overhang the end.
+
+    reference: ProcessReads.cpp:1095-1136 + KmerIndex::findPosition
+    (src/KmerIndex.cpp:2188-2292).  The reference's four mosaic padding
+    cases reduce to: recover the transcript coordinate of the first matched
+    k-mer from the covering run's payload, project the read start on the
+    transcript, and test fragment-length feasibility.
+    """
+
+    def __init__(self, index: TpuIndex, fl: int):
+        self.k = index.k
+        self.fl = fl
+        self.target_lens = index.target_lens.astype(np.int64)
+        nb = index.bp_ptr.shape[0] - 1
+        bp_block = np.repeat(
+            np.arange(nb, dtype=np.int64), np.diff(index.bp_ptr)
+        )
+        self.T1 = int(index.target_lens.shape[0]) + 1
+        self.bp_key = bp_block * self.T1 + index.bp_tx  # sorted ascending
+        self.bp_pos = index.bp_pos
+        self.bp_rstart = index.bp_rstart
+        self.bp_rstop = index.bp_rstop
+
+    def apply(
+        self,
+        read_uidx: np.ndarray,
+        uniq_sets: List[Optional[np.ndarray]],
+        applies: np.ndarray,        # [B] bool: filter applies to this read
+        f_block: np.ndarray,
+        f_upos: np.ndarray,
+        f_rpos: np.ndarray,
+        f_strand: np.ndarray,
+    ) -> Tuple[np.ndarray, List[Optional[np.ndarray]]]:
+        cards = np.array(
+            [0 if s is None else s.shape[0] for s in uniq_sets], np.int64
+        )
+        sel = np.flatnonzero(applies & (cards[read_uidx] > 0))
+        if sel.size == 0:
+            return read_uidx, list(uniq_sets)
+
+        # expand (read, transcript) pairs
+        rcard = cards[read_uidx[sel]]
+        set_off = np.zeros(len(uniq_sets) + 1, np.int64)
+        np.cumsum(cards, out=set_off[1:])
+        flat_sets = np.concatenate(
+            [s for s in uniq_sets if s is not None and s.shape[0]]
+        ) if set_off[-1] else np.empty(0, np.int64)
+        # flat_sets above concatenates only non-empty sets in order; rebuild
+        # offsets accordingly
+        pair_read = np.repeat(sel, rcard)
+        start = set_off[read_uidx[sel]]
+        excl = np.zeros(sel.shape[0], np.int64)
+        np.cumsum(rcard[:-1], out=excl[1:])
+        within = np.arange(pair_read.shape[0], dtype=np.int64) - np.repeat(excl, rcard)
+        tx = flat_sets[np.repeat(start, rcard) + within].astype(np.int64)
+
+        # payload lookup: (block, tx) -> run payload
+        key = f_block[pair_read].astype(np.int64) * self.T1 + tx
+        pidx = np.searchsorted(self.bp_key, key)
+        pidx_c = np.minimum(pidx, max(self.bp_key.shape[0] - 1, 0))
+        found = (
+            (self.bp_key.shape[0] > 0) & (self.bp_key[pidx_c] == key)
+        )
+
+        raw = self.bp_pos[pidx_c].astype(np.int64)
+        trsense = (raw >> 31) == 0
+        t0 = raw & 0x7FFFFFFF
+        rstart = self.bp_rstart[pidx_c].astype(np.int64)
+        rstop = self.bp_rstop[pidx_c].astype(np.int64)
+        d = f_upos[pair_read].astype(np.int64)
+        p = f_rpos[pair_read].astype(np.int64)
+        csense = f_strand[pair_read]
+
+        t_kmer = np.where(trsense, t0 + (d - rstart), t0 + (rstop - 1 - d))
+        sense = trsense == csense
+        x = np.where(sense, t_kmer - p + 1, t_kmer + self.k + p)
+        # missing payload -> (-1, sense=true), reference: KmerIndex.cpp:2207
+        x = np.where(found, x, -1)
+        sense = np.where(found, sense, True)
+        keep = np.where(
+            sense,
+            x + self.fl <= self.target_lens[tx],
+            x - self.fl >= 0,
+        )
+
+        # per selected read: did the filter shrink the set?
+        kept_per_read = np.zeros(sel.shape[0], np.int64)
+        np.add.at(kept_per_read, np.repeat(np.arange(sel.shape[0]), rcard), keep)
+        changed = kept_per_read < rcard
+
+        final_idx = read_uidx.copy()
+        final_sets: List[Optional[np.ndarray]] = list(uniq_sets)
+        local: dict = {}
+        pair_off = np.zeros(sel.shape[0] + 1, np.int64)
+        np.cumsum(rcard, out=pair_off[1:])
+        for j in np.flatnonzero(changed):
+            sl = slice(pair_off[j], pair_off[j + 1])
+            sub = tx[sl][keep[sl]].astype(np.int32)
+            kb = sub.tobytes()
+            fi = local.get(kb)
+            if fi is None:
+                fi = len(final_sets)
+                final_sets.append(sub if sub.shape[0] else None)
+                local[kb] = fi
+            final_idx[sel[j]] = fi
+        return final_idx, final_sets
+
+
+def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
+    start_time = time.strftime("%a %b %d %H:%M:%S %Y")
+    if index is None:
+        index = load_index(opt.index_path)
+    didx = device_index_from_host(index)
+    resolver = EcResolver(index)
+    k = index.k
+
+    paired = opt.paired
+    estimate_fld = paired and opt.fld_mean == 0.0
+    flens = np.zeros(MAX_FRAG_LEN, np.int64)
+    tlencount = 0
+    num_processed = 0
+
+    pos_filter: Optional[FldPositionFilter] = None
+    if opt.fld_mean > 0 and not opt.single_overhang:
+        pos_filter = FldPositionFilter(index, fl=int(opt.fld_mean))
+
+    if paired:
+        if len(opt.files) % 2 != 0:
+            raise ValueError("paired-end mode requires an even number of files")
+        file_pairs = [
+            (opt.files[i], opt.files[i + 1]) for i in range(0, len(opt.files), 2)
+        ]
+        batch_iter = (
+            b for f1, f2 in file_pairs for b in paired_batches(f1, f2, opt.batch_size)
+        )
+        for b1, b2 in batch_iter:
+            codes1, lens1 = _pad_batch(b1, k)
+            codes2, lens2 = _pad_batch(b2, k)
+            r1 = pseudoalign_batch(didx, codes1, lens1, k=k)
+            r2 = pseudoalign_batch(didx, codes2, lens2, k=k)
+            need_fld = estimate_fld and tlencount < _FLEN_GOAL
+            tl = (
+                np.asarray(pair_fragment_lengths(r1, r2, k=k))
+                if need_fld
+                else None
+            )
+            s1, s2 = _SideArrays(r1), _SideArrays(r2)
+            read_uidx, uniq_sets = resolver.resolve_batch(
+                s1.rows, s1.has_hits, s2.rows, s2.has_hits, do_union=opt.do_union
+            )
+            final_idx, final_sets = read_uidx, uniq_sets
+            if pos_filter is not None:
+                # reference: filter only when at least one mate had no hits
+                # (ProcessReads.cpp:1095); both-empty reads are unmapped anyway
+                applies = ~(s1.has_hits & s2.has_hits)
+                final_idx, final_sets = pos_filter.apply(
+                    read_uidx, uniq_sets, applies,
+                    np.where(s2.has_hits, s2.f_block, s1.f_block),
+                    np.where(s2.has_hits, s2.f_upos, s1.f_upos),
+                    np.where(s2.has_hits, s2.f_rpos, s1.f_rpos),
+                    np.where(s2.has_hits, s2.f_strand, s1.f_strand),
+                )
+            read_ec, read_card = resolver.count_batch(final_idx, final_sets)
+            num_processed += b1.n
+            if need_fld:
+                ok = (
+                    (tl > 0)
+                    & (tl < MAX_FRAG_LEN)
+                    & (read_card == 1)
+                    & s1.has_hits
+                    & s2.has_hits
+                )
+                take = np.flatnonzero(ok)[: _FLEN_GOAL - tlencount]
+                np.add.at(flens, tl[take], 1)
+                tlencount += take.shape[0]
+    else:
+        if opt.fld_mean <= 0 or opt.fld_sd <= 0:
+            raise ValueError("single-end mode requires -l and -s")
+        batch_iter = (
+            b for f in opt.files for b in single_batches(f, opt.batch_size)
+        )
+        for b1 in batch_iter:
+            codes1, lens1 = _pad_batch(b1, k)
+            r1 = pseudoalign_batch(didx, codes1, lens1, k=k)
+            s1 = _SideArrays(r1)
+            read_uidx, uniq_sets = resolver.resolve_batch(
+                s1.rows, s1.has_hits, do_union=opt.do_union
+            )
+            final_idx, final_sets = read_uidx, uniq_sets
+            if pos_filter is not None:
+                applies = np.ones(b1.n, bool)
+                final_idx, final_sets = pos_filter.apply(
+                    read_uidx[: b1.n], uniq_sets, applies,
+                    s1.f_block, s1.f_upos, s1.f_rpos, s1.f_strand,
+                )
+            resolver.count_batch(final_idx, final_sets)
+            num_processed += b1.n
+
+    # -- FLD post-processing (reference: main.cpp:2663-2681) --------------
+    if opt.fld_mean == 0.0:
+        fld = flens.astype(np.uint32)
+        mean_fl_trunc = compute_mean_frag_lens_trunc(flens)
+    else:
+        mean_fl = opt.fld_mean
+        sd_fl = opt.fld_sd
+        mean_fl_trunc = trunc_gaussian_fld(0, MAX_FRAG_LEN, mean_fl, sd_fl)
+        fld = trunc_gaussian_counts(0, MAX_FRAG_LEN, mean_fl, sd_fl, 10000)
+
+    fl_means = get_frag_len_means(index.target_lens, mean_fl_trunc)
+    eff_lens = calc_eff_lens(index.target_lens, fl_means)
+
+    counts = resolver.counts_array()
+    problem = build_em_problem(resolver.ec_sets, index.num_trans)
+    em = run_em(problem, counts, eff_lens, n_iter=10000, min_rounds=50)
+    tpm = counts_to_tpm(em.alpha, eff_lens)
+
+    num_pseudoaligned = int(counts.sum())
+    num_unique = resolver.num_unique_reads()
+
+    result = QuantResult(
+        target_names=index.target_names,
+        target_lens=index.target_lens,
+        eff_lens=eff_lens,
+        est_counts=em.alpha,
+        tpm=tpm,
+        em=em,
+        counts=counts,
+        ec_sets=resolver.ec_sets,
+        flens=flens,
+        num_processed=num_processed,
+        num_pseudoaligned=num_pseudoaligned,
+        num_unique=num_unique,
+        fld=fld,
+    )
+
+    if opt.output_dir:
+        os.makedirs(opt.output_dir, exist_ok=True)
+        writers.write_abundance_tsv(
+            os.path.join(opt.output_dir, "abundance.tsv"),
+            result.target_names, result.target_lens, eff_lens, em.alpha, tpm,
+        )
+        writers.write_run_info(
+            os.path.join(opt.output_dir, "run_info.json"),
+            n_targets=index.num_onlist,
+            n_bootstraps=opt.bootstrap,
+            n_processed=num_processed,
+            n_pseudoaligned=num_pseudoaligned,
+            n_unique=num_unique,
+            kallisto_version=KALLISTO_COMPAT_VERSION,
+            index_version=REFERENCE_INDEX_VERSION,
+            k=k,
+            start_time=start_time,
+            call=opt.call,
+        )
+        if opt.write_index:
+            writers.write_counts(
+                os.path.join(opt.output_dir, "counts.txt"), counts
+            )
+
+    return result
