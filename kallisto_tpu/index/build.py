@@ -223,9 +223,15 @@ def _build_unitigs(keys: np.ndarray, k: int):
         if step > N + 1:
             raise RuntimeError("unitig chaining failed to terminate")
 
-    vc = np.concatenate(visit_chain)
-    vk = np.concatenate(visit_kmer)
-    vo = np.concatenate(visit_orient)
+    if visit_chain:
+        vc = np.concatenate(visit_chain)
+        vk = np.concatenate(visit_kmer)
+        vo = np.concatenate(visit_orient)
+    else:
+        # purely cyclic graph (e.g. a repeat-only sequence): no starts at all
+        vc = np.empty(0, np.int64)
+        vk = np.empty(0, np.int64)
+        vo = np.empty(0, np.uint8)
     # order visits by (chain, step): steps were appended in order, and within
     # a step chains are ascending, so a stable sort by chain yields (chain, step)
     order = np.argsort(vc, kind="stable")

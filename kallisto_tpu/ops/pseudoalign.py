@@ -94,13 +94,64 @@ class SideResult(NamedTuple):
     f_strand: jnp.ndarray    # [B] bool read maps forward along unitig
 
 
+def pack_codes_host(codes: np.ndarray):
+    """Host-side 2-bit packing + N bitmask (cuts host->device bytes ~2.5x;
+    the device link is the end-to-end bottleneck on tunneled TPUs).
+
+    Returns (packed [B, ceil(L/4)] uint8, nmask [B, ceil(L/8)] uint8, L).
+    """
+    B, L = codes.shape
+    L4 = (L + 3) // 4
+    c = np.where(codes >= 4, 0, codes).astype(np.uint8)
+    if L4 * 4 != L:
+        c = np.concatenate([c, np.zeros((B, L4 * 4 - L), np.uint8)], axis=1)
+    c = c.reshape(B, L4, 4)
+    packed = c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4) | (c[:, :, 3] << 6)
+    nmask = np.packbits(codes >= 4, axis=1, bitorder="little")
+    return packed, nmask, L
+
+
+def unpack_codes_device(packed: jnp.ndarray, nmask: jnp.ndarray, L: int) -> jnp.ndarray:
+    B = packed.shape[0]
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    c = (packed[:, :, None] >> shifts[None, None, :]) & 3
+    c = c.reshape(B, -1)[:, :L]
+    bits = (nmask[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)[None, None, :]) & 1
+    nbit = bits.reshape(B, -1)[:, :L]
+    return jnp.where(nbit == 1, jnp.uint8(4), c.astype(jnp.uint8))
+
+
+@partial(jax.jit, static_argnames=("k", "L", "max_rows"))
+def pseudoalign_batch_packed(
+    didx: DeviceIndex,
+    packed: jnp.ndarray,
+    nmask: jnp.ndarray,
+    lens: jnp.ndarray,
+    k: int,
+    L: int,
+    max_rows: int = 16,
+) -> SideResult:
+    codes = unpack_codes_device(packed, nmask, L)
+    return _pseudoalign_core(didx, codes, lens, k, max_rows)
+
+
 @partial(jax.jit, static_argnames=("k", "max_rows"))
 def pseudoalign_batch(
     didx: DeviceIndex,
     codes: jnp.ndarray,
     lens: jnp.ndarray,
     k: int,
-    max_rows: int = 64,
+    max_rows: int = 16,
+) -> SideResult:
+    return _pseudoalign_core(didx, codes, lens, k, max_rows)
+
+
+def _pseudoalign_core(
+    didx: DeviceIndex,
+    codes: jnp.ndarray,
+    lens: jnp.ndarray,
+    k: int,
+    max_rows: int,
 ) -> SideResult:
     canon, is_fw, valid = rolling_canonical_kmers(codes, lens, k)
     B, W = canon.shape
@@ -148,6 +199,65 @@ def pseudoalign_batch(
         f_rpos=f_rpos,
         f_strand=f_strand,
     )
+
+
+def _hash_columns_128(cols) -> jnp.ndarray:
+    """Two independent 64-bit FNV/splitmix column hashes -> [B, 2] int64.
+
+    Device-side key hashing keeps device->host traffic at 16 bytes/read
+    (the tunnel/PCIe link is the end-to-end bottleneck, not compute); full
+    row lists are fetched only for first-seen keys.  128 bits makes
+    collisions over a full run (~1e6 distinct keys) ~1e-20.
+    """
+    B = cols[0].shape[0]
+    h1 = jnp.full(B, 0xCBF29CE484222325, jnp.uint64)
+    h2 = jnp.full(B, 0x9E3779B97F4A7C15, jnp.uint64)
+    m1 = jnp.uint64(0x100000001B3)
+    m2 = jnp.uint64(0xC2B2AE3D27D4EB4F)
+    for c in cols:
+        cu = c.astype(jnp.uint64)
+        h1 = (h1 ^ cu) * m1
+        h2 = (h2 + cu) * m2
+        h2 = h2 ^ (h2 >> jnp.uint64(29))
+    h1 = h1 ^ (h1 >> jnp.uint64(33))
+    h2 = h2 * m1
+    return jnp.stack(
+        [h1.astype(jnp.int64), h2.astype(jnp.int64)], axis=1
+    )
+
+
+def _side_flag_cols(s: SideResult):
+    return [
+        s.has_hits.astype(jnp.int32) + 4 * s.overflow.astype(jnp.int32),
+    ]
+
+
+@jax.jit
+def pair_key_hash(s1: SideResult, s2: SideResult) -> jnp.ndarray:
+    """128-bit key of (rows1, rows2, hit/overflow flags) per pair."""
+    cols = (
+        [s1.rows[:, i] for i in range(s1.rows.shape[1])]
+        + [s2.rows[:, i] for i in range(s2.rows.shape[1])]
+        + [
+            s1.has_hits.astype(jnp.int32)
+            + 2 * s2.has_hits.astype(jnp.int32)
+            + 4 * s1.overflow.astype(jnp.int32)
+            + 8 * s2.overflow.astype(jnp.int32)
+        ]
+    )
+    return _hash_columns_128(cols)
+
+
+@jax.jit
+def single_key_hash(s1: SideResult) -> jnp.ndarray:
+    cols = [s1.rows[:, i] for i in range(s1.rows.shape[1])] + _side_flag_cols(s1)
+    return _hash_columns_128(cols)
+
+
+@partial(jax.jit, static_argnames=())
+def gather_rows(rows: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Fetch exemplar row lists for first-seen keys (device-side gather)."""
+    return rows[idx]
 
 
 @partial(jax.jit, static_argnames=("k",))

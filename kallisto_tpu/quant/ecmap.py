@@ -39,6 +39,8 @@ class EcResolver:
         self.counts: List[int] = []
         # cache: raw row-set key bytes -> resolved transcript set (or None)
         self._key_cache: Dict[bytes, Optional[np.ndarray]] = {}
+        # cache: 128-bit device key hash -> resolved transcript set (or None)
+        self._hash_cache: Dict[bytes, Optional[np.ndarray]] = {}
 
     # -- EC id management ------------------------------------------------
 
@@ -106,6 +108,20 @@ class EcResolver:
             rows2 = np.empty(0, np.int32)
             hits1, hits2 = bool(int(key[R]) & 1), False
 
+        u = self.resolve_rows(rows1, hits1, rows2, hits2, paired, do_union)
+        self._key_cache[kb] = u
+        return u
+
+    def resolve_rows(
+        self,
+        rows1: np.ndarray,
+        hits1: bool,
+        rows2: np.ndarray,
+        hits2: bool,
+        paired: bool,
+        do_union: bool = False,
+    ) -> Optional[np.ndarray]:
+        """Core intersection + non-strict pairing on explicit row lists."""
         combine = self._union_rows if do_union else self._intersect_rows
         u1 = combine(rows1) if rows1.shape[0] else np.empty(0, np.int32)
         u2 = combine(rows2) if rows2.shape[0] else np.empty(0, np.int32)
@@ -131,8 +147,6 @@ class EcResolver:
             u = u[u < self.num_onlist]
         if u is not None and u.shape[0] == 0:
             u = None
-
-        self._key_cache[kb] = u
         return u
 
     # -- batch processing ------------------------------------------------
@@ -144,27 +158,83 @@ class EcResolver:
         rows2: Optional[np.ndarray] = None,
         has_hits2: Optional[np.ndarray] = None,
         do_union: bool = False,
+        overflow1: Optional[np.ndarray] = None,
+        overflow2: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, List[Optional[np.ndarray]]]:
         """Deduplicate and resolve a batch.
 
         Returns (read_uidx [B] indices into uniq_sets, uniq_sets); entries of
         uniq_sets are sorted transcript-id arrays or None (fragment rejected).
+
+        Deduplication hashes each key row to one int64 (a full-width
+        np.unique over the key matrix costs ~100x more) and then *verifies*
+        the grouping exactly: reads whose key differs from their hash
+        group's representative (a 64-bit collision, astronomically rare)
+        are resolved individually.
         """
         B, R = rows1.shape
         paired = rows2 is not None
+        # overflow bits keep truncated keys distinct from genuinely-full ones;
+        # overflowed reads are re-resolved via the host fallback afterwards
+        fl = has_hits1.astype(np.int32)
+        if overflow1 is not None:
+            fl = fl + 4 * overflow1.astype(np.int32)
         if paired:
-            flags = (has_hits1.astype(np.int32) + 2 * has_hits2.astype(np.int32))[:, None]
-            keys = np.concatenate([rows1, rows2, flags], axis=1)
+            fl = fl + 2 * has_hits2.astype(np.int32)
+            if overflow2 is not None:
+                fl = fl + 8 * overflow2.astype(np.int32)
+            keys = np.concatenate([rows1, rows2, fl[:, None]], axis=1)
         else:
-            flags = has_hits1.astype(np.int32)[:, None]
-            keys = np.concatenate([rows1, flags], axis=1)
+            keys = np.concatenate([rows1, fl[:, None]], axis=1)
 
-        uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
+        h = _hash_rows(keys)
+        _, first_idx, inverse = np.unique(h, return_index=True, return_inverse=True)
+        inverse = inverse.reshape(-1)
+        rep = keys[first_idx]
+        exact = (keys == rep[inverse]).all(axis=1)
+
         uniq_sets = [
-            self._resolve_key(uniq[qi], R, paired, do_union)
-            for qi in range(uniq.shape[0])
+            self._resolve_key(rep[qi], R, paired, do_union)
+            for qi in range(rep.shape[0])
         ]
-        return inverse.reshape(-1), uniq_sets
+        read_uidx = inverse.copy()
+        if not exact.all():
+            for r in np.flatnonzero(~exact):
+                read_uidx[r] = len(uniq_sets)
+                uniq_sets.append(self._resolve_key(keys[r], R, paired, do_union))
+        return read_uidx, uniq_sets
+
+    def resolve_batch_hashed(
+        self,
+        h128: np.ndarray,
+        fetch_exemplars,
+        R: int,
+        paired: bool,
+        do_union: bool = False,
+    ) -> Tuple[np.ndarray, List[Optional[np.ndarray]]]:
+        """Resolve a batch from device-computed 128-bit key hashes.
+
+        Only 16 bytes/read cross the device->host link; the full row lists
+        of first-seen keys are fetched via `fetch_exemplars(read_indices) ->
+        key matrix [n, 2R+1 or R+1]` (a device-side gather).  Returns
+        (read_uidx, uniq_sets) like resolve_batch.
+        """
+        hv = np.ascontiguousarray(h128).reshape(-1, 2)
+        struct = hv.view([("a", "<i8"), ("b", "<i8")]).reshape(-1)
+        uniq, first_idx, inverse = np.unique(
+            struct, return_index=True, return_inverse=True
+        )
+        raw = uniq.tobytes()
+        hkeys = [raw[16 * i : 16 * (i + 1)] for i in range(uniq.shape[0])]
+        new_q = [qi for qi, kb in enumerate(hkeys) if kb not in self._hash_cache]
+        if new_q:
+            keys = fetch_exemplars(first_idx[new_q])
+            for j, qi in enumerate(new_q):
+                self._hash_cache[hkeys[qi]] = self._resolve_key(
+                    keys[j], R, paired, do_union
+                )
+        uniq_sets = [self._hash_cache[kb] for kb in hkeys]
+        return inverse.reshape(-1).copy(), uniq_sets
 
     def count_batch(
         self,
@@ -201,6 +271,20 @@ class EcResolver:
 
     def num_unique_reads(self) -> int:
         return sum(c for c, s in zip(self.counts, self.ec_sets) if s.shape[0] == 1)
+
+
+def _hash_rows(keys: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit polynomial hash of each row (splitmix finalizer)."""
+    h = np.full(keys.shape[0], 0x9E3779B97F4A7C15, np.uint64)
+    mult = np.uint64(0x100000001B3)
+    for c in range(keys.shape[1]):
+        h = (h ^ keys[:, c].astype(np.uint64)) * mult
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h.view(np.int64)
 
 
 def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -22,8 +22,12 @@ from ..io.fastx import paired_batches, single_batches, ReadBatch
 from ..ops.pseudoalign import (
     DeviceIndex,
     device_index_from_host,
+    gather_rows,
+    pack_codes_host,
     pair_fragment_lengths,
-    pseudoalign_batch,
+    pair_key_hash,
+    pseudoalign_batch_packed,
+    single_key_hash,
 )
 from .ecmap import EcResolver
 from .em import EmResult, build_em_problem, counts_to_tpm, run_em
@@ -67,19 +71,34 @@ def _pad_batch(batch: ReadBatch, k: int, pad_to: int = 32) -> Tuple[np.ndarray, 
     return codes, batch.lens
 
 
+def _dispatch_side(didx: DeviceIndex, batch: ReadBatch, k: int):
+    """Pack + upload one mate's batch and enqueue pseudoalignment (async)."""
+    codes, lens = _pad_batch(batch, k)
+    packed, nmask, L = pack_codes_host(codes)
+    return pseudoalign_batch_packed(didx, packed, nmask, lens, k=k, L=L)
+
+
 class _SideArrays:
-    """Host copies of one mate's device results."""
+    """Lazy host views of one mate's device results (device->host traffic
+    is the end-to-end bottleneck under tunneled TPUs, so each array is
+    transferred at most once and only if actually consulted)."""
+
+    _FIELDS = (
+        "rows", "n_rows", "has_hits", "overflow",
+        "f_uid", "f_block", "f_upos", "f_rpos", "f_strand",
+    )
 
     def __init__(self, res):
-        self.rows = np.asarray(res.rows)
-        self.n_rows = np.asarray(res.n_rows)
-        self.has_hits = np.asarray(res.has_hits)
-        self.overflow = np.asarray(res.overflow)
-        self.f_uid = np.asarray(res.f_uid)
-        self.f_block = np.asarray(res.f_block)
-        self.f_upos = np.asarray(res.f_upos)
-        self.f_rpos = np.asarray(res.f_rpos)
-        self.f_strand = np.asarray(res.f_strand)
+        self._res = res
+        self._cache = {}
+
+    def __getattr__(self, name):
+        if name in self._FIELDS:
+            cache = self.__dict__["_cache"]
+            if name not in cache:
+                cache[name] = np.asarray(getattr(self.__dict__["_res"], name))
+            return cache[name]
+        raise AttributeError(name)
 
 
 class FldPositionFilter:
@@ -191,6 +210,79 @@ class FldPositionFilter:
         return final_idx, final_sets
 
 
+def _pad_pow2(n: int, lo: int = 64) -> int:
+    p = lo
+    while p < n:
+        p <<= 1
+    return p
+
+
+def _make_pair_fetcher(r1, r2, s1: _SideArrays, s2: _SideArrays):
+    """Exemplar fetcher: device-gathers full row lists for first-seen keys."""
+    import jax.numpy as jnp
+
+    def fetch(idx: np.ndarray) -> np.ndarray:
+        pad = _pad_pow2(idx.shape[0])
+        idxp = np.zeros(pad, np.int64)
+        idxp[: idx.shape[0]] = idx
+        jidx = jnp.asarray(idxp)
+        g1 = np.asarray(gather_rows(r1.rows, jidx))[: idx.shape[0]]
+        g2 = np.asarray(gather_rows(r2.rows, jidx))[: idx.shape[0]]
+        flags = (
+            s1.has_hits[idx].astype(np.int32)
+            + 2 * s2.has_hits[idx].astype(np.int32)
+            + 4 * s1.overflow[idx].astype(np.int32)
+            + 8 * s2.overflow[idx].astype(np.int32)
+        )
+        return np.concatenate([g1, g2, flags[:, None]], axis=1)
+
+    return fetch
+
+
+def _make_single_fetcher(r1, s1: _SideArrays):
+    import jax.numpy as jnp
+
+    def fetch(idx: np.ndarray) -> np.ndarray:
+        pad = _pad_pow2(idx.shape[0])
+        idxp = np.zeros(pad, np.int64)
+        idxp[: idx.shape[0]] = idx
+        g1 = np.asarray(gather_rows(r1.rows, jnp.asarray(idxp)))[: idx.shape[0]]
+        flags = s1.has_hits[idx].astype(np.int32) + 4 * s1.overflow[idx].astype(
+            np.int32
+        )
+        return np.concatenate([g1, flags[:, None]], axis=1)
+
+    return fetch
+
+
+def _apply_overflow_fallback(
+    resolver, index, read_uidx, uniq_sets, do_union, side1, side2
+):
+    """Re-resolve reads whose device row list overflowed (host oracle).
+
+    Mutates read_uidx in place to point at freshly appended uniq_sets
+    entries for the affected reads.
+    """
+    from ..ops.host_fallback import host_side_rows
+
+    s1, b1 = side1
+    ovf = s1.overflow.copy()
+    if side2 is not None:
+        s2, b2 = side2
+        ovf |= s2.overflow
+    for r in np.flatnonzero(ovf):
+        rows1, hits1 = host_side_rows(index, b1.codes[r], int(b1.lens[r]))
+        if side2 is not None:
+            rows2, hits2 = host_side_rows(index, b2.codes[r], int(b2.lens[r]))
+            u = resolver.resolve_rows(rows1, hits1, rows2, hits2, True, do_union)
+        else:
+            u = resolver.resolve_rows(
+                rows1, hits1, np.empty(0, np.int32), False, False, do_union
+            )
+        read_uidx[r] = len(uniq_sets)
+        uniq_sets.append(u)
+
+
 def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     start_time = time.strftime("%a %b %d %H:%M:%S %Y")
     if index is None:
@@ -209,6 +301,82 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     if opt.fld_mean > 0 and not opt.single_overhang:
         pos_filter = FldPositionFilter(index, fl=int(opt.fld_mean))
 
+    def dispatch_pair(b1: ReadBatch, b2: ReadBatch, want_fld: bool):
+        """Enqueue one pair batch on the device (async); returns a context."""
+        r1 = _dispatch_side(didx, b1, k)
+        r2 = _dispatch_side(didx, b2, k)
+        h = pair_key_hash(r1, r2)
+        tl = pair_fragment_lengths(r1, r2, k=k) if want_fld else None
+        return (b1, b2, r1, r2, h, tl)
+
+    def process_pair(ctx):
+        nonlocal num_processed, tlencount
+        b1, b2, r1, r2, h, tl = ctx
+        s1, s2 = _SideArrays(r1), _SideArrays(r2)
+        R = int(r1.rows.shape[1])
+        read_uidx, uniq_sets = resolver.resolve_batch_hashed(
+            np.asarray(h), _make_pair_fetcher(r1, r2, s1, s2), R, paired=True,
+            do_union=opt.do_union,
+        )
+        _apply_overflow_fallback(
+            resolver, index, read_uidx, uniq_sets, opt.do_union,
+            (s1, b1), (s2, b2),
+        )
+        final_idx, final_sets = read_uidx, uniq_sets
+        if pos_filter is not None:
+            # reference: filter only when at least one mate had no hits
+            # (ProcessReads.cpp:1095); both-empty reads are unmapped anyway
+            applies = ~(s1.has_hits & s2.has_hits)
+            final_idx, final_sets = pos_filter.apply(
+                read_uidx, uniq_sets, applies,
+                np.where(s2.has_hits, s2.f_block, s1.f_block),
+                np.where(s2.has_hits, s2.f_upos, s1.f_upos),
+                np.where(s2.has_hits, s2.f_rpos, s1.f_rpos),
+                np.where(s2.has_hits, s2.f_strand, s1.f_strand),
+            )
+        read_ec, read_card = resolver.count_batch(final_idx, final_sets)
+        num_processed += b1.n
+        if tl is not None and tlencount < _FLEN_GOAL:
+            tl_h = np.asarray(tl)
+            ok = (
+                (tl_h > 0)
+                & (tl_h < MAX_FRAG_LEN)
+                & (read_card == 1)
+                & s1.has_hits
+                & s2.has_hits
+            )
+            take = np.flatnonzero(ok)[: _FLEN_GOAL - tlencount]
+            np.add.at(flens, tl_h[take], 1)
+            tlencount += take.shape[0]
+
+    def dispatch_single(b1: ReadBatch):
+        r1 = _dispatch_side(didx, b1, k)
+        return (b1, r1, single_key_hash(r1))
+
+    def process_single(ctx):
+        nonlocal num_processed
+        b1, r1, h = ctx
+        s1 = _SideArrays(r1)
+        R = int(r1.rows.shape[1])
+        read_uidx, uniq_sets = resolver.resolve_batch_hashed(
+            np.asarray(h), _make_single_fetcher(r1, s1), R, paired=False,
+            do_union=opt.do_union,
+        )
+        _apply_overflow_fallback(
+            resolver, index, read_uidx, uniq_sets, opt.do_union, (s1, b1), None
+        )
+        final_idx, final_sets = read_uidx, uniq_sets
+        if pos_filter is not None:
+            applies = np.ones(b1.n, bool)
+            final_idx, final_sets = pos_filter.apply(
+                read_uidx, uniq_sets, applies,
+                s1.f_block, s1.f_upos, s1.f_rpos, s1.f_strand,
+            )
+        resolver.count_batch(final_idx, final_sets)
+        num_processed += b1.n
+
+    # double-buffered loop: batch i+1 uploads/computes (async) while batch i's
+    # results are resolved on the host -- hides device-link latency
     if paired:
         if len(opt.files) % 2 != 0:
             raise ValueError("paired-end mode requires an even number of files")
@@ -218,68 +386,29 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         batch_iter = (
             b for f1, f2 in file_pairs for b in paired_batches(f1, f2, opt.batch_size)
         )
+        pending = None
         for b1, b2 in batch_iter:
-            codes1, lens1 = _pad_batch(b1, k)
-            codes2, lens2 = _pad_batch(b2, k)
-            r1 = pseudoalign_batch(didx, codes1, lens1, k=k)
-            r2 = pseudoalign_batch(didx, codes2, lens2, k=k)
-            need_fld = estimate_fld and tlencount < _FLEN_GOAL
-            tl = (
-                np.asarray(pair_fragment_lengths(r1, r2, k=k))
-                if need_fld
-                else None
-            )
-            s1, s2 = _SideArrays(r1), _SideArrays(r2)
-            read_uidx, uniq_sets = resolver.resolve_batch(
-                s1.rows, s1.has_hits, s2.rows, s2.has_hits, do_union=opt.do_union
-            )
-            final_idx, final_sets = read_uidx, uniq_sets
-            if pos_filter is not None:
-                # reference: filter only when at least one mate had no hits
-                # (ProcessReads.cpp:1095); both-empty reads are unmapped anyway
-                applies = ~(s1.has_hits & s2.has_hits)
-                final_idx, final_sets = pos_filter.apply(
-                    read_uidx, uniq_sets, applies,
-                    np.where(s2.has_hits, s2.f_block, s1.f_block),
-                    np.where(s2.has_hits, s2.f_upos, s1.f_upos),
-                    np.where(s2.has_hits, s2.f_rpos, s1.f_rpos),
-                    np.where(s2.has_hits, s2.f_strand, s1.f_strand),
-                )
-            read_ec, read_card = resolver.count_batch(final_idx, final_sets)
-            num_processed += b1.n
-            if need_fld:
-                ok = (
-                    (tl > 0)
-                    & (tl < MAX_FRAG_LEN)
-                    & (read_card == 1)
-                    & s1.has_hits
-                    & s2.has_hits
-                )
-                take = np.flatnonzero(ok)[: _FLEN_GOAL - tlencount]
-                np.add.at(flens, tl[take], 1)
-                tlencount += take.shape[0]
+            want_fld = estimate_fld and tlencount < _FLEN_GOAL
+            cur = dispatch_pair(b1, b2, want_fld)
+            if pending is not None:
+                process_pair(pending)
+            pending = cur
+        if pending is not None:
+            process_pair(pending)
     else:
         if opt.fld_mean <= 0 or opt.fld_sd <= 0:
             raise ValueError("single-end mode requires -l and -s")
         batch_iter = (
             b for f in opt.files for b in single_batches(f, opt.batch_size)
         )
+        pending = None
         for b1 in batch_iter:
-            codes1, lens1 = _pad_batch(b1, k)
-            r1 = pseudoalign_batch(didx, codes1, lens1, k=k)
-            s1 = _SideArrays(r1)
-            read_uidx, uniq_sets = resolver.resolve_batch(
-                s1.rows, s1.has_hits, do_union=opt.do_union
-            )
-            final_idx, final_sets = read_uidx, uniq_sets
-            if pos_filter is not None:
-                applies = np.ones(b1.n, bool)
-                final_idx, final_sets = pos_filter.apply(
-                    read_uidx[: b1.n], uniq_sets, applies,
-                    s1.f_block, s1.f_upos, s1.f_rpos, s1.f_strand,
-                )
-            resolver.count_batch(final_idx, final_sets)
-            num_processed += b1.n
+            cur = dispatch_single(b1)
+            if pending is not None:
+                process_single(pending)
+            pending = cur
+        if pending is not None:
+            process_single(pending)
 
     # -- FLD post-processing (reference: main.cpp:2663-2681) --------------
     if opt.fld_mean == 0.0:
