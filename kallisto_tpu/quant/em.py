@@ -88,8 +88,7 @@ def _em_iteration(alpha, singleton_alpha, flat_tx, flat_ec, multi_counts, inv_ef
     )
 
 
-@partial(jax.jit, static_argnames=("num_trans", "num_multi", "n_iter", "min_rounds"))
-def _run_em_jax(
+def _em_loop(
     singleton_alpha,   # [T] f64: counts of singleton ECs scattered to their tx
     flat_tx,           # [M] int32
     flat_ec,           # [M] int32
@@ -100,7 +99,7 @@ def _run_em_jax(
     n_iter: int,
     min_rounds: int,
 ):
-    alpha0 = jnp.full(num_trans, 1.0 / num_trans, jnp.float64)
+    alpha0 = jnp.full(num_trans, 1.0 / num_trans, singleton_alpha.dtype)
 
     def body(state):
         alpha, i, final_round, done, before = state
@@ -134,6 +133,31 @@ def _run_em_jax(
     # the reference reports the 0-based index at break (EMAlgorithm.h:369)
     n_rounds = jnp.where(done, i - 1, i)
     return alpha, before_zeroes, n_rounds
+
+
+_run_em_jax = partial(jax.jit, static_argnames=(
+    "num_trans", "num_multi", "n_iter", "min_rounds"))(_em_loop)
+
+
+@partial(jax.jit, static_argnames=("num_trans", "num_multi", "n_iter", "min_rounds"))
+def _run_em_batch_jax(
+    singleton_alpha_b,  # [Bb, T]
+    flat_tx,
+    flat_ec,
+    multi_counts_b,     # [Bb, E]
+    inv_eff,
+    num_trans: int,
+    num_multi: int,
+    n_iter: int,
+    min_rounds: int,
+):
+    """vmapped EM over bootstrap replicates (shared EC structure)."""
+    return jax.vmap(
+        lambda sa, mc: _em_loop(
+            sa, flat_tx, flat_ec, mc, inv_eff,
+            num_trans, num_multi, n_iter, min_rounds,
+        )
+    )(singleton_alpha_b, multi_counts_b)
 
 
 class EmResult(NamedTuple):

@@ -57,6 +57,7 @@ class QuantResult:
     num_pseudoaligned: int
     num_unique: int
     fld: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
+    bootstraps: Optional[np.ndarray] = None  # [B, T] bootstrap est_counts
 
 
 def _pad_batch(batch: ReadBatch, k: int, pad_to: int = 32) -> Tuple[np.ndarray, np.ndarray]:
@@ -446,6 +447,18 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         num_unique=num_unique,
         fld=fld,
     )
+    bootstraps: Optional[np.ndarray] = None
+    if opt.bootstrap > 0 and num_pseudoaligned > 0:
+        from .bootstrap import run_bootstraps
+
+        bootstraps = run_bootstraps(
+            problem, counts, eff_lens, opt.bootstrap, opt.seed
+        )
+    elif opt.bootstrap > 0:
+        # nothing aligned: the reference writes the (empty) main EM result
+        # for every bootstrap (main.cpp:2732-2743)
+        bootstraps = np.tile(em.alpha, (opt.bootstrap, 1))
+    result.bootstraps = bootstraps
 
     if opt.output_dir:
         os.makedirs(opt.output_dir, exist_ok=True)
@@ -453,6 +466,33 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             os.path.join(opt.output_dir, "abundance.tsv"),
             result.target_names, result.target_lens, eff_lens, em.alpha, tpm,
         )
+        if bootstraps is not None and opt.plaintext:
+            for b in range(bootstraps.shape[0]):
+                writers.write_bootstrap_tsv(
+                    opt.output_dir, b, result.target_names, result.target_lens,
+                    eff_lens, bootstraps[b], counts_to_tpm(bootstraps[b], eff_lens),
+                )
+        if not opt.plaintext:
+            from ..io.h5 import HAVE_H5PY, write_abundance_h5
+
+            if HAVE_H5PY:
+                write_abundance_h5(
+                    os.path.join(opt.output_dir, "abundance.h5"),
+                    est_counts=em.alpha,
+                    target_names=result.target_names,
+                    lengths=result.target_lens,
+                    eff_lens=eff_lens,
+                    fld=fld,
+                    bias_observed=np.ones(4096, np.int32),
+                    bias_normalized=np.ones(4096, np.float64),
+                    num_bootstrap=opt.bootstrap,
+                    num_processed=num_processed,
+                    kallisto_version=KALLISTO_COMPAT_VERSION,
+                    index_version=REFERENCE_INDEX_VERSION,
+                    start_time=start_time,
+                    call=opt.call,
+                    bootstraps=bootstraps,
+                )
         writers.write_run_info(
             os.path.join(opt.output_dir, "run_info.json"),
             n_targets=index.num_onlist,
