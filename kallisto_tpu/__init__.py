@@ -16,12 +16,26 @@ Numerical parity anchor: the quantification path reproduces reference
 kallisto's est_counts/TPM on its bundled test data (see tests/golden).
 """
 
+import os as _os
+
 import jax
 
 # The index k-mer tables are 2-bit packed uint64 and the EM accumulates in
 # float64 for parity with the reference (C++ doubles).  Both require x64 mode;
 # hot compute paths explicitly opt into narrower dtypes.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the unrolled k-mer kernels take tens of
+# seconds to compile per (batch, length) shape; cache across processes.
+_cache_dir = _os.environ.get(
+    "KALLISTO_TPU_JAX_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "kallisto_tpu_jax"),
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - older jax without the option
+    pass
 
 __version__ = "0.1.0"
 

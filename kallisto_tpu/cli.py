@@ -92,6 +92,56 @@ def _cmd_quant(args):
     run_quant(opt)
 
 
+def _cmd_bus(args):
+    from .common import Options
+    from .sc.bus import run_bus
+
+    strand = None
+    if args.fr_stranded:
+        strand = "fr"
+    elif args.rf_stranded:
+        strand = "rf"
+    opt = Options(
+        index_path=args.index,
+        output_dir=args.output_dir,
+        technology=args.technology,
+        files=args.reads,
+        strand=strand,
+        unstranded=args.unstranded,
+        single_end=args.single_end,
+        call=" ".join(sys.argv),
+    )
+    res = run_bus(opt)
+    if res.num_pseudoaligned == 0:
+        sys.exit(1)
+
+
+def _cmd_quant_tcc(args):
+    from .common import Options
+    from .quant.tcc import run_quant_tcc
+
+    opt = Options(
+        index_path=args.index,
+        output_dir=args.output_dir,
+        ec_file=args.ec_file,
+        tcc_file=args.tcc,
+        fld_mean=args.fragment_length,
+        fld_sd=args.sd,
+        fld_file=args.fragment_file,
+        genemap=args.genemap,
+        bootstrap=args.bootstrap_samples,
+        seed=args.seed,
+        call=" ".join(sys.argv),
+    )
+    run_quant_tcc(opt)
+
+
+def _cmd_h5dump(args):
+    from .io.h5 import h5dump
+
+    h5dump(args.h5file, args.output_dir)
+
+
 def _cmd_inspect(args):
     from .index import load_index
 
@@ -146,6 +196,37 @@ def main(argv=None):
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("reads", nargs="+")
     p.set_defaults(fn=_cmd_quant)
+
+    p = sub.add_parser("bus", help="generate BUS files for single-cell data")
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument("-o", "--output-dir", required=True)
+    p.add_argument("-x", "--technology", required=True)
+    p.add_argument("--fr-stranded", action="store_true")
+    p.add_argument("--rf-stranded", action="store_true")
+    p.add_argument("--unstranded", action="store_true")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("--single", action="store_true", dest="single_end")
+    p.add_argument("reads", nargs="+")
+    p.set_defaults(fn=_cmd_bus)
+
+    p = sub.add_parser("quant-tcc", help="quantify from transcript-compatibility counts")
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument("-o", "--output-dir", required=True)
+    p.add_argument("-e", "--ec-file", required=True)
+    p.add_argument("-l", "--fragment-length", type=float, default=0.0)
+    p.add_argument("-s", "--sd", type=float, default=0.0)
+    p.add_argument("-f", "--fragment-file", default="")
+    p.add_argument("-g", "--genemap", default="")
+    p.add_argument("-b", "--bootstrap-samples", type=int, default=0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("tcc")
+    p.set_defaults(fn=_cmd_quant_tcc)
+
+    p = sub.add_parser("h5dump", help="convert abundance.h5 to plaintext")
+    p.add_argument("-o", "--output-dir", required=True)
+    p.add_argument("h5file")
+    p.set_defaults(fn=_cmd_h5dump)
 
     p = sub.add_parser("inspect", help="inspect an index")
     p.add_argument("index")

@@ -70,10 +70,19 @@ class Options:
     distinguish: bool = False
     dfk_onlist: bool = False
     max_ec_size: int = -1
+    technology: str = ""            # -x for bus mode
+    unstranded: bool = False
     genomebam: bool = False
     pseudobam: bool = False
     gtf_file: str = ""
     chrom_file: str = ""
+
+    # quant-tcc inputs (reference: ParseOptionsTCCQuant, main.cpp:394-540)
+    ec_file: str = ""
+    tcc_file: str = ""
+    fld_file: str = ""
+    genemap: str = ""
+    txnames_file: str = ""
 
     # device execution controls (no reference equivalent)
     batch_size: int = 1 << 18       # reads per device batch

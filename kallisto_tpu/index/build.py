@@ -63,9 +63,14 @@ class TpuIndex:
     # (reference: KmerIndex::findPosition, src/KmerIndex.cpp:2188-2292)
     bp_ptr: np.ndarray               # [NB+1] int64
     bp_tx: np.ndarray                # [bnnz] int32
-    bp_pos: np.ndarray               # [bnnz] uint32  (tpos | 0x80000000 if antisense)
-    bp_rstart: np.ndarray            # [bnnz] int32
+    bp_pos: np.ndarray               # [bnnz] uint32  (tpos | 0x80000000 if antisense;
+    #                                   minimum over covering runs, matching
+    #                                   SparseVector::get(tr).minimum())
+    bp_rstart: np.ndarray            # [bnnz] int32 (run of the min-pos entry)
     bp_rstop: np.ndarray             # [bnnz] int32
+    bp_strand: np.ndarray            # [bnnz] uint8: 1 = sense walk, 0 = antisense,
+    #                                   2 = ambiguous (both) -- the SparseVector
+    #                                   strand char (SparseVector.hpp:32)
 
     # unitigs
     unitig_nkmers: np.ndarray        # [U] int32 (#k-mers = length - k + 1)
@@ -408,6 +413,7 @@ def _build_blocks(
     bp_pos_parts: List[np.ndarray] = []
     bp_rstart_parts: List[np.ndarray] = []
     bp_rstop_parts: List[np.ndarray] = []
+    bp_strand_parts: List[np.ndarray] = []
     bp_counts: List[int] = []
 
     ec_rows: Dict[Tuple[int, ...], int] = {}
@@ -430,6 +436,7 @@ def _build_blocks(
             bp_pos_parts.append(empty_pos)
             bp_rstart_parts.append(empty_tx)
             bp_rstop_parts.append(empty_tx)
+            bp_strand_parts.append(np.empty(0, np.uint8))
             bp_counts.append(0)
             continue
         starts = run_start[lo:hi]
@@ -447,12 +454,27 @@ def _build_blocks(
             px = poss[cover]
             rs = starts[cover]
             re = stops[cover]
-            # dedup repeated trids (same transcript covering via multiple
-            # runs); keep the first (runs are trid-sorted, stable)
+            # a transcript may cover the block via multiple runs: keep the
+            # MINIMUM raw pos (SparseVector.minimum() semantics) and mark the
+            # strand char ambiguous (2) when both orientations occur
             if tx.shape[0] > 1:
-                keep = np.ones(tx.shape[0], bool)
-                keep[1:] = tx[1:] != tx[:-1]
-                tx, px, rs, re = tx[keep], px[keep], rs[keep], re[keep]
+                order2 = np.lexsort((px, tx))
+                tx, px, rs, re = tx[order2], px[order2], rs[order2], re[order2]
+                first = np.ones(tx.shape[0], bool)
+                first[1:] = tx[1:] != tx[:-1]
+                bits = (px >> 31).astype(np.uint8)
+                grp = np.cumsum(first) - 1
+                n_grp = int(grp[-1]) + 1
+                any0 = np.zeros(n_grp, bool)
+                any1 = np.zeros(n_grp, bool)
+                np.logical_or.at(any0, grp, bits == 0)
+                np.logical_or.at(any1, grp, bits == 1)
+                strand = np.where(
+                    any0 & any1, 2, np.where(any0, 1, 0)
+                ).astype(np.uint8)
+                tx, px, rs, re = tx[first], px[first], rs[first], re[first]
+            else:
+                strand = np.where((px >> 31) == 0, 1, 0).astype(np.uint8)
             key = tuple(int(t) for t in tx)
             row = ec_rows.setdefault(key, len(ec_rows))
             block_uid.append(u)
@@ -463,6 +485,7 @@ def _build_blocks(
             bp_pos_parts.append(px)
             bp_rstart_parts.append(rs)
             bp_rstop_parts.append(re)
+            bp_strand_parts.append(strand)
             bp_counts.append(tx.shape[0])
 
     NB = len(block_uid)
@@ -498,6 +521,11 @@ def _build_blocks(
         if bp_rstop_parts
         else np.empty(0, np.int32)
     )
+    bp_strand = (
+        np.concatenate(bp_strand_parts).astype(np.uint8)
+        if bp_strand_parts
+        else np.empty(0, np.uint8)
+    )
 
     return (
         np.array(block_uid, np.int32),
@@ -511,6 +539,7 @@ def _build_blocks(
         bp_pos,
         bp_rstart,
         bp_rstop,
+        bp_strand,
     )
 
 
@@ -534,7 +563,7 @@ def build_index(
     runs = _transcript_runs(san.seqs, k, keys, kmer_uid, kmer_pos, kmer_fw)
     (
         block_uid, block_start, block_end, block_ec,
-        ec_ptr, ec_tx, bp_ptr, bp_tx, bp_pos, bp_rstart, bp_rstop,
+        ec_ptr, ec_tx, bp_ptr, bp_tx, bp_pos, bp_rstart, bp_rstop, bp_strand,
     ) = _build_blocks(len(chains), unitig_nkmers, *runs, max_ec_size)
 
     # per-kmer block id: blocks are emitted unitig-major with ascending
@@ -573,6 +602,7 @@ def build_index(
         bp_pos=bp_pos,
         bp_rstart=bp_rstart,
         bp_rstop=bp_rstop,
+        bp_strand=bp_strand,
         unitig_nkmers=unitig_nkmers,
         unitig_seq_off=useq_off,
         unitig_seq=useq,

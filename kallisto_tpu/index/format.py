@@ -18,6 +18,7 @@ _ARRAY_FIELDS = [
     "kmer_keys", "kmer_uid", "kmer_pos", "kmer_fw", "kmer_block",
     "block_uid", "block_start", "block_end", "block_ec",
     "ec_ptr", "ec_tx", "bp_ptr", "bp_tx", "bp_pos", "bp_rstart", "bp_rstop",
+    "bp_strand",
     "unitig_nkmers", "unitig_seq_off", "unitig_seq",
     "dlist_keys",
 ]

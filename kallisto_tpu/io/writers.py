@@ -13,7 +13,13 @@ import numpy as np
 
 
 def cpp_double(x: float) -> str:
-    """Format like C++ default ostream << double (precision 6, defaultfloat)."""
+    """Format like C++ default ostream << double (precision 6, defaultfloat).
+
+    glibc prints NaNs with the sign bit set as "-nan"; 0.0/0.0 on x86
+    produces exactly that, and the reference emits it (e.g. the FLD sd of a
+    cell with an empty fragment histogram)."""
+    if np.isnan(x):
+        return "-nan"
     return f"{x:.6g}"
 
 

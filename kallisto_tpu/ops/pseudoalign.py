@@ -260,6 +260,73 @@ def gather_rows(rows: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return rows[idx]
 
 
+class CompactKeys(NamedTuple):
+    """Per-batch key histogram computed ON DEVICE.
+
+    Downloading per-read hashes costs 16 bytes/read; a batch only has a few
+    thousand distinct keys, so the device sorts the 128-bit hashes, segments
+    them, and returns fixed-width per-key tables instead (~100x smaller).
+    n_uniq > K means the table overflowed: caller falls back to per-read
+    hashes for that batch.
+    """
+
+    uniq_h: jnp.ndarray      # [K, 2] int64 unique key hashes (valid: first n_uniq)
+    occ: jnp.ndarray         # [K] int32 multiplicity
+    first_idx: jnp.ndarray   # [K] int32 first-occurrence read index (for
+    #                          first-seen EC ordering + exemplar fetch)
+    flags: jnp.ndarray       # [K] int32 hit/overflow flags of the exemplar
+    n_uniq: jnp.ndarray      # [] int32
+
+
+@partial(jax.jit, static_argnames=("max_keys",))
+def compact_pair_keys(s1: SideResult, s2: SideResult, max_keys: int = 16384) -> CompactKeys:
+    h = pair_key_hash(s1, s2)
+    flags = (
+        s1.has_hits.astype(jnp.int32)
+        + 2 * s2.has_hits.astype(jnp.int32)
+        + 4 * s1.overflow.astype(jnp.int32)
+        + 8 * s2.overflow.astype(jnp.int32)
+    )
+    return _compact_keys(h, flags, max_keys)
+
+
+@partial(jax.jit, static_argnames=("max_keys",))
+def compact_single_keys(s1: SideResult, max_keys: int = 16384) -> CompactKeys:
+    h = single_key_hash(s1)
+    flags = s1.has_hits.astype(jnp.int32) + 4 * s1.overflow.astype(jnp.int32)
+    return _compact_keys(h, flags, max_keys)
+
+
+def _compact_keys(h: jnp.ndarray, flags: jnp.ndarray, K: int) -> CompactKeys:
+    B = h.shape[0]
+    idx = jnp.arange(B, dtype=jnp.int32)
+    h0, h1, sidx, sflags = jax.lax.sort(
+        (h[:, 0], h[:, 1], idx, flags), num_keys=2
+    )
+    isnew = jnp.concatenate(
+        [jnp.ones(1, bool), (h0[1:] != h0[:-1]) | (h1[1:] != h1[:-1])]
+    )
+    seg = jnp.cumsum(isnew.astype(jnp.int32)) - 1
+    n_uniq = seg[-1] + 1
+    segc = jnp.minimum(seg, K - 1)
+    occ = jax.ops.segment_sum(jnp.ones(B, jnp.int32), segc, num_segments=K)
+    first_idx = jax.ops.segment_min(sidx, segc, num_segments=K)
+    uh0 = jnp.zeros(K, jnp.int64).at[segc].set(h0, mode="drop")
+    uh1 = jnp.zeros(K, jnp.int64).at[segc].set(h1, mode="drop")
+    # exemplar (first occurrence) flags: scatter-min keyed by read index
+    fl = jax.ops.segment_min(
+        sidx.astype(jnp.int64) * 16 + sflags.astype(jnp.int64), segc, num_segments=K
+    )
+    fl = (fl % 16).astype(jnp.int32)
+    return CompactKeys(
+        uniq_h=jnp.stack([uh0, uh1], axis=1),
+        occ=occ,
+        first_idx=first_idx,
+        flags=fl,
+        n_uniq=n_uniq,
+    )
+
+
 @partial(jax.jit, static_argnames=("k",))
 def pair_fragment_lengths(s1: SideResult, s2: SideResult, k: int) -> jnp.ndarray:
     """Inferred fragment length per pair, -1 when not inferable.

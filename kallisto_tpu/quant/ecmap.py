@@ -236,6 +236,42 @@ class EcResolver:
         uniq_sets = [self._hash_cache[kb] for kb in hkeys]
         return inverse.reshape(-1).copy(), uniq_sets
 
+    def process_compact(
+        self,
+        uniq_h: np.ndarray,     # [K, 2] int64
+        occ: np.ndarray,        # [K] int32
+        first_idx: np.ndarray,  # [K] int32
+        fetch_exemplars,
+        R: int,
+        paired: bool,
+        do_union: bool = False,
+    ) -> None:
+        """Count a batch from its device-side key histogram (CompactKeys).
+
+        EC ids are assigned in first-occurrence read order, identical to the
+        per-read path.  Used on the hot path once flens collection is done
+        and no per-read filters are active.
+        """
+        valid = np.flatnonzero(occ > 0)
+        order = valid[np.argsort(first_idx[valid], kind="stable")]
+        hb = np.ascontiguousarray(uniq_h).tobytes()
+        hkeys = [hb[16 * qi : 16 * (qi + 1)] for qi in order]
+        new_pos = [
+            (j, qi) for j, (qi, kb) in enumerate(zip(order, hkeys))
+            if kb not in self._hash_cache
+        ]
+        if new_pos:
+            keys = fetch_exemplars(first_idx[[qi for _, qi in new_pos]])
+            for row, (j, qi) in enumerate(new_pos):
+                self._hash_cache[hkeys[j]] = self._resolve_key(
+                    keys[row], R, paired, do_union
+                )
+        for j, qi in enumerate(order):
+            u = self._hash_cache[hkeys[j]]
+            if u is not None:
+                ec = self.ec_id_for(u)
+                self.counts[ec] += int(occ[qi])
+
     def count_batch(
         self,
         final_idx: np.ndarray,

@@ -139,25 +139,30 @@ _run_em_jax = partial(jax.jit, static_argnames=(
     "num_trans", "num_multi", "n_iter", "min_rounds"))(_em_loop)
 
 
-@partial(jax.jit, static_argnames=("num_trans", "num_multi", "n_iter", "min_rounds"))
+@partial(
+    jax.jit,
+    static_argnames=("num_trans", "num_multi", "n_iter", "min_rounds", "batched_eff"),
+)
 def _run_em_batch_jax(
     singleton_alpha_b,  # [Bb, T]
     flat_tx,
     flat_ec,
     multi_counts_b,     # [Bb, E]
-    inv_eff,
+    inv_eff,            # [T] shared or [Bb, T] per replicate (batched_eff)
     num_trans: int,
     num_multi: int,
     n_iter: int,
     min_rounds: int,
+    batched_eff: bool = False,
 ):
-    """vmapped EM over bootstrap replicates (shared EC structure)."""
+    """vmapped EM over replicates/cells (shared EC structure)."""
     return jax.vmap(
-        lambda sa, mc: _em_loop(
-            sa, flat_tx, flat_ec, mc, inv_eff,
+        lambda sa, mc, ie: _em_loop(
+            sa, flat_tx, flat_ec, mc, ie,
             num_trans, num_multi, n_iter, min_rounds,
-        )
-    )(singleton_alpha_b, multi_counts_b)
+        ),
+        in_axes=(0, 0, 0 if batched_eff else None),
+    )(singleton_alpha_b, multi_counts_b, inv_eff)
 
 
 class EmResult(NamedTuple):

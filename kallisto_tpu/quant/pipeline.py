@@ -21,6 +21,8 @@ from ..io import writers
 from ..io.fastx import paired_batches, single_batches, ReadBatch
 from ..ops.pseudoalign import (
     DeviceIndex,
+    compact_pair_keys,
+    compact_single_keys,
     device_index_from_host,
     gather_rows,
     pack_codes_host,
@@ -31,6 +33,7 @@ from ..ops.pseudoalign import (
 )
 from .ecmap import EcResolver
 from .em import EmResult, build_em_problem, counts_to_tpm, run_em
+from .filters import FldPositionFilter, StrandFilter
 from .fld import (
     calc_eff_lens,
     compute_mean_frag_lens_trunc,
@@ -100,115 +103,6 @@ class _SideArrays:
                 cache[name] = np.asarray(getattr(self.__dict__["_res"], name))
             return cache[name]
         raise AttributeError(name)
-
-
-class FldPositionFilter:
-    """Drop transcripts whose inferred fragment would overhang the end.
-
-    reference: ProcessReads.cpp:1095-1136 + KmerIndex::findPosition
-    (src/KmerIndex.cpp:2188-2292).  The reference's four mosaic padding
-    cases reduce to: recover the transcript coordinate of the first matched
-    k-mer from the covering run's payload, project the read start on the
-    transcript, and test fragment-length feasibility.
-    """
-
-    def __init__(self, index: TpuIndex, fl: int):
-        self.k = index.k
-        self.fl = fl
-        self.target_lens = index.target_lens.astype(np.int64)
-        nb = index.bp_ptr.shape[0] - 1
-        bp_block = np.repeat(
-            np.arange(nb, dtype=np.int64), np.diff(index.bp_ptr)
-        )
-        self.T1 = int(index.target_lens.shape[0]) + 1
-        self.bp_key = bp_block * self.T1 + index.bp_tx  # sorted ascending
-        self.bp_pos = index.bp_pos
-        self.bp_rstart = index.bp_rstart
-        self.bp_rstop = index.bp_rstop
-
-    def apply(
-        self,
-        read_uidx: np.ndarray,
-        uniq_sets: List[Optional[np.ndarray]],
-        applies: np.ndarray,        # [B] bool: filter applies to this read
-        f_block: np.ndarray,
-        f_upos: np.ndarray,
-        f_rpos: np.ndarray,
-        f_strand: np.ndarray,
-    ) -> Tuple[np.ndarray, List[Optional[np.ndarray]]]:
-        cards = np.array(
-            [0 if s is None else s.shape[0] for s in uniq_sets], np.int64
-        )
-        sel = np.flatnonzero(applies & (cards[read_uidx] > 0))
-        if sel.size == 0:
-            return read_uidx, list(uniq_sets)
-
-        # expand (read, transcript) pairs
-        rcard = cards[read_uidx[sel]]
-        set_off = np.zeros(len(uniq_sets) + 1, np.int64)
-        np.cumsum(cards, out=set_off[1:])
-        flat_sets = np.concatenate(
-            [s for s in uniq_sets if s is not None and s.shape[0]]
-        ) if set_off[-1] else np.empty(0, np.int64)
-        # flat_sets above concatenates only non-empty sets in order; rebuild
-        # offsets accordingly
-        pair_read = np.repeat(sel, rcard)
-        start = set_off[read_uidx[sel]]
-        excl = np.zeros(sel.shape[0], np.int64)
-        np.cumsum(rcard[:-1], out=excl[1:])
-        within = np.arange(pair_read.shape[0], dtype=np.int64) - np.repeat(excl, rcard)
-        tx = flat_sets[np.repeat(start, rcard) + within].astype(np.int64)
-
-        # payload lookup: (block, tx) -> run payload
-        key = f_block[pair_read].astype(np.int64) * self.T1 + tx
-        pidx = np.searchsorted(self.bp_key, key)
-        pidx_c = np.minimum(pidx, max(self.bp_key.shape[0] - 1, 0))
-        found = (
-            (self.bp_key.shape[0] > 0) & (self.bp_key[pidx_c] == key)
-        )
-
-        raw = self.bp_pos[pidx_c].astype(np.int64)
-        trsense = (raw >> 31) == 0
-        t0 = raw & 0x7FFFFFFF
-        rstart = self.bp_rstart[pidx_c].astype(np.int64)
-        rstop = self.bp_rstop[pidx_c].astype(np.int64)
-        d = f_upos[pair_read].astype(np.int64)
-        p = f_rpos[pair_read].astype(np.int64)
-        csense = f_strand[pair_read]
-
-        t_kmer = np.where(trsense, t0 + (d - rstart), t0 + (rstop - 1 - d))
-        sense = trsense == csense
-        x = np.where(sense, t_kmer - p + 1, t_kmer + self.k + p)
-        # missing payload -> (-1, sense=true), reference: KmerIndex.cpp:2207
-        x = np.where(found, x, -1)
-        sense = np.where(found, sense, True)
-        keep = np.where(
-            sense,
-            x + self.fl <= self.target_lens[tx],
-            x - self.fl >= 0,
-        )
-
-        # per selected read: did the filter shrink the set?
-        kept_per_read = np.zeros(sel.shape[0], np.int64)
-        np.add.at(kept_per_read, np.repeat(np.arange(sel.shape[0]), rcard), keep)
-        changed = kept_per_read < rcard
-
-        final_idx = read_uidx.copy()
-        final_sets: List[Optional[np.ndarray]] = list(uniq_sets)
-        local: dict = {}
-        pair_off = np.zeros(sel.shape[0] + 1, np.int64)
-        np.cumsum(rcard, out=pair_off[1:])
-        for j in np.flatnonzero(changed):
-            sl = slice(pair_off[j], pair_off[j + 1])
-            sub = tx[sl][keep[sl]].astype(np.int32)
-            kb = sub.tobytes()
-            fi = local.get(kb)
-            if fi is None:
-                fi = len(final_sets)
-                final_sets.append(sub if sub.shape[0] else None)
-                local[kb] = fi
-            final_idx[sel[j]] = fi
-        return final_idx, final_sets
 
 
 def _pad_pow2(n: int, lo: int = 64) -> int:
@@ -301,18 +195,47 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     pos_filter: Optional[FldPositionFilter] = None
     if opt.fld_mean > 0 and not opt.single_overhang:
         pos_filter = FldPositionFilter(index, fl=int(opt.fld_mean))
+    strand_filter: Optional[StrandFilter] = None
+    if opt.strand in ("fr", "rf"):
+        strand_filter = StrandFilter(index, opt.strand)
 
     def dispatch_pair(b1: ReadBatch, b2: ReadBatch, want_fld: bool):
-        """Enqueue one pair batch on the device (async); returns a context."""
+        """Enqueue one pair batch on the device (async); returns a context.
+
+        Once flens collection is done and no per-read filter is active, the
+        batch is reduced to a per-key histogram on device (compact mode);
+        otherwise per-read hashes are produced.
+        """
         r1 = _dispatch_side(didx, b1, k)
         r2 = _dispatch_side(didx, b2, k)
+        if not want_fld and pos_filter is None and strand_filter is None:
+            return ("compact", b1, b2, r1, r2, compact_pair_keys(r1, r2))
         h = pair_key_hash(r1, r2)
         tl = pair_fragment_lengths(r1, r2, k=k) if want_fld else None
-        return (b1, b2, r1, r2, h, tl)
+        return ("full", b1, b2, r1, r2, h, tl)
 
     def process_pair(ctx):
         nonlocal num_processed, tlencount
-        b1, b2, r1, r2, h, tl = ctx
+        if ctx[0] == "compact":
+            _, b1, b2, r1, r2, ck = ctx
+            n_uniq = int(ck.n_uniq)
+            occ = np.asarray(ck.occ)
+            flags = np.asarray(ck.flags)
+            K = occ.shape[0]
+            no_overflow = not (flags[occ > 0] & 12).any()
+            if n_uniq <= K and no_overflow:
+                s1, s2 = _SideArrays(r1), _SideArrays(r2)
+                resolver.process_compact(
+                    np.asarray(ck.uniq_h), occ, np.asarray(ck.first_idx),
+                    _make_pair_fetcher(r1, r2, s1, s2),
+                    int(r1.rows.shape[1]), paired=True, do_union=opt.do_union,
+                )
+                num_processed += b1.n
+                return
+            # histogram overflowed or a read's row list overflowed:
+            # recover via the per-read path
+            ctx = ("full", b1, b2, r1, r2, pair_key_hash(r1, r2), None)
+        _, b1, b2, r1, r2, h, tl = ctx
         s1, s2 = _SideArrays(r1), _SideArrays(r2)
         R = int(r1.rows.shape[1])
         read_uidx, uniq_sets = resolver.resolve_batch_hashed(
@@ -335,6 +258,12 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 np.where(s2.has_hits, s2.f_rpos, s1.f_rpos),
                 np.where(s2.has_hits, s2.f_strand, s1.f_strand),
             )
+        if strand_filter is not None:
+            final_idx, final_sets = strand_filter.apply_pair(
+                final_idx, final_sets,
+                s1.has_hits, s1.f_block, s1.f_strand,
+                s2.has_hits, s2.f_block, s2.f_strand,
+            )
         read_ec, read_card = resolver.count_batch(final_idx, final_sets)
         num_processed += b1.n
         if tl is not None and tlencount < _FLEN_GOAL:
@@ -352,11 +281,29 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
 
     def dispatch_single(b1: ReadBatch):
         r1 = _dispatch_side(didx, b1, k)
-        return (b1, r1, single_key_hash(r1))
+        if pos_filter is None and strand_filter is None and not opt.do_union:
+            return ("compact", b1, r1, compact_single_keys(r1))
+        return ("full", b1, r1, single_key_hash(r1))
 
     def process_single(ctx):
         nonlocal num_processed
-        b1, r1, h = ctx
+        if ctx[0] == "compact":
+            _, b1, r1, ck = ctx
+            n_uniq = int(ck.n_uniq)
+            occ = np.asarray(ck.occ)
+            flags = np.asarray(ck.flags)
+            no_overflow = not (flags[occ > 0] & 12).any()
+            if n_uniq <= occ.shape[0] and no_overflow:
+                s1 = _SideArrays(r1)
+                resolver.process_compact(
+                    np.asarray(ck.uniq_h), occ, np.asarray(ck.first_idx),
+                    _make_single_fetcher(r1, s1),
+                    int(r1.rows.shape[1]), paired=False, do_union=opt.do_union,
+                )
+                num_processed += b1.n
+                return
+            ctx = ("full", b1, r1, single_key_hash(r1))
+        _, b1, r1, h = ctx
         s1 = _SideArrays(r1)
         R = int(r1.rows.shape[1])
         read_uidx, uniq_sets = resolver.resolve_batch_hashed(
@@ -372,6 +319,10 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             final_idx, final_sets = pos_filter.apply(
                 read_uidx, uniq_sets, applies,
                 s1.f_block, s1.f_upos, s1.f_rpos, s1.f_strand,
+            )
+        if strand_filter is not None:
+            final_idx, final_sets = strand_filter.apply_pair(
+                final_idx, final_sets, s1.has_hits, s1.f_block, s1.f_strand,
             )
         resolver.count_batch(final_idx, final_sets)
         num_processed += b1.n
