@@ -35,9 +35,9 @@ def main():
     from kallisto_tpu.index import build_index
     from kallisto_tpu.io.fastx import paired_batches
     from kallisto_tpu.ops.pseudoalign import (
+        compact_pair_keys,
         device_index_from_host,
         pack_codes_host,
-        pair_key_hash,
         pseudoalign_batch_packed,
     )
     from kallisto_tpu.quant.ecmap import EcResolver
@@ -67,20 +67,23 @@ def main():
     k = index.k
 
     def dispatch():
+        # identical to the steady-state path of quant/pipeline.py
+        # (dispatch_pair in compact mode): the device reduces each batch to
+        # a per-key histogram; only ~K unique keys cross the link.
         p1, n1, L1 = pack_codes_host(codes1)
         p2, n2, L2 = pack_codes_host(codes2)
         r1 = pseudoalign_batch_packed(didx, p1, n1, lens1, k=k, L=L1)
         r2 = pseudoalign_batch_packed(didx, p2, n2, lens2, k=k, L=L2)
-        return r1, r2, pair_key_hash(r1, r2)
+        return r1, r2, compact_pair_keys(r1, r2)
 
     def process(ctx):
-        r1, r2, h = ctx
+        r1, r2, ck = ctx
         s1, s2 = _SideArrays(r1), _SideArrays(r2)
-        ui, us = resolver.resolve_batch_hashed(
-            np.asarray(h), _make_pair_fetcher(r1, r2, s1, s2),
+        resolver.process_compact(
+            np.asarray(ck.uniq_h), np.asarray(ck.occ), np.asarray(ck.first_idx),
+            _make_pair_fetcher(r1, r2, s1, s2),
             int(r1.rows.shape[1]), paired=True,
         )
-        resolver.count_batch(ui, us)
 
     process(dispatch())  # compile + warm allocator
 

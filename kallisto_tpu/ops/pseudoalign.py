@@ -26,29 +26,111 @@ INT32_MAX = np.int32(2**31 - 1)
 
 
 class DeviceIndex(NamedTuple):
-    """Index tables resident in HBM (int64 keys: 2k <= 62 bits).
+    """Index tables resident in HBM, laid out for O(1)-ish k-mer lookup.
+
+    k-mers are stored sorted by a bijective 64-bit mix of their canonical
+    2-bit encoding; a direct-addressed bucket table over the top hash bits
+    narrows each query to a tiny range that a fixed-depth (static, branch-
+    less) binary search resolves.  This replaces the reference's
+    minimizer->MPHF->unitig probe chain (src/KmerIndex.cpp:1698-1940,
+    ext/bifrost/src/Search.tcc) with ~9 gather rounds per k-mer batch
+    instead of log2(N)+3, independent of index size.
 
     The k-mer length is deliberately NOT a field: NamedTuples are pytrees
     and k must stay a static (trace-time) constant; it is passed separately.
     """
 
-    kmer_keys: jnp.ndarray  # [N] int64 sorted canonical k-mers
-    kmer_uid: jnp.ndarray   # [N] int32
-    kmer_pos: jnp.ndarray   # [N] int32
-    kmer_fw: jnp.ndarray    # [N] bool
-    kmer_block: jnp.ndarray  # [N] int32
-    block_ec: jnp.ndarray   # [NB] int32 (-1 = empty/wildcard EC)
+    kmer_hkeys: jnp.ndarray    # [N] uint64 mixed canonical k-mers, sorted
+    bucket_start: jnp.ndarray  # [2^p + 1] int32 hash-bucket boundaries
+    kmer_uid: jnp.ndarray      # [N] int32 (hash order)
+    kmer_pos: jnp.ndarray      # [N] int32 (hash order)
+    kmer_fw: jnp.ndarray       # [N] bool  (hash order)
+    kmer_block: jnp.ndarray    # [N] int32 (hash order)
+    kmer_ec: jnp.ndarray       # [N] int32 EC row, -1 = empty/wildcard
+
+
+# Fixed probe depth: buckets are sized (by raising p) to hold < 2^DEPTH
+# entries, so the branchless lower_bound below always terminates exactly.
+_BUCKET_SEARCH_DEPTH = 6
+
+
+def _mix64_np(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (bijective) over uint64 -- uniformizes the
+    biologically-skewed 2-bit k-mer bit patterns for direct addressing."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _mix64_jnp(x: jnp.ndarray) -> jnp.ndarray:
+    x = x.astype(jnp.uint64)
+    x = x ^ (x >> jnp.uint64(30))
+    x = x * jnp.uint64(0xBF58476D1CE4E5B9)
+    x = x ^ (x >> jnp.uint64(27))
+    x = x * jnp.uint64(0x94D049BB133111EB)
+    return x ^ (x >> jnp.uint64(31))
 
 
 def device_index_from_host(index) -> DeviceIndex:
+    mk = _mix64_np(index.kmer_keys)
+    order = np.argsort(mk)
+    mk = mk[order]
+    N = mk.shape[0]
+    # pick bucket bits p: avg load ~0.25, grow until max bucket fits DEPTH
+    p = min(max(int(np.ceil(np.log2(max(N, 2)))) + 2, 4), 27)
+    while True:
+        bid = (mk >> np.uint64(64 - p)).astype(np.int64)
+        counts = np.bincount(bid, minlength=1 << p)
+        if counts.max() < (1 << _BUCKET_SEARCH_DEPTH) or p >= 27:
+            break
+        p += 1
+    if counts.max() >= (1 << _BUCKET_SEARCH_DEPTH):
+        raise ValueError("k-mer hash bucket overflow; index too large")
+    bucket_start = np.zeros((1 << p) + 1, np.int32)
+    np.cumsum(counts, out=bucket_start[1:])
+    kmer_block = index.kmer_block[order]
+    kmer_ec = np.where(
+        kmer_block >= 0, index.block_ec[np.maximum(kmer_block, 0)], -1
+    ).astype(np.int32)
     return DeviceIndex(
-        kmer_keys=jnp.asarray(index.kmer_keys.astype(np.int64)),
-        kmer_uid=jnp.asarray(index.kmer_uid),
-        kmer_pos=jnp.asarray(index.kmer_pos),
-        kmer_fw=jnp.asarray(index.kmer_fw),
-        kmer_block=jnp.asarray(index.kmer_block),
-        block_ec=jnp.asarray(index.block_ec),
+        kmer_hkeys=jnp.asarray(mk),
+        bucket_start=jnp.asarray(bucket_start),
+        kmer_uid=jnp.asarray(index.kmer_uid[order]),
+        kmer_pos=jnp.asarray(index.kmer_pos[order]),
+        kmer_fw=jnp.asarray(index.kmer_fw[order]),
+        kmer_block=jnp.asarray(kmer_block),
+        kmer_ec=jnp.asarray(kmer_ec),
     )
+
+
+def lookup_kmers(didx: DeviceIndex, canon: jnp.ndarray, valid: jnp.ndarray):
+    """Batched k-mer -> index-slot lookup.
+
+    canon: int64 canonical k-mers (any shape); valid: same-shape bool.
+    Returns (idx, hit): slot into the hash-ordered kmer_* arrays and a
+    hit mask.  Branchless: bucket range fetch + fixed-depth lower_bound.
+    """
+    q = _mix64_jnp(jnp.where(valid, canon, 0))
+    p = int(np.log2(didx.bucket_start.shape[0] - 1) + 0.5)
+    b = (q >> jnp.uint64(64 - p)).astype(jnp.int32)
+    lo = didx.bucket_start[b].astype(jnp.int32)
+    n = didx.bucket_start[b + 1].astype(jnp.int32) - lo
+    N = didx.kmer_hkeys.shape[0]
+    for _ in range(_BUCKET_SEARCH_DEPTH):
+        nz = n > 0
+        half = n >> 1
+        m = jnp.minimum(lo + half, N - 1)
+        go = (didx.kmer_hkeys[m] < q) & nz
+        lo = jnp.where(go, m + 1, lo)
+        n = jnp.where(go, n - half - 1, jnp.where(nz, half, 0))
+    idx = jnp.minimum(lo, N - 1)
+    hit = valid & (didx.kmer_hkeys[idx] == q)
+    return idx, hit
 
 
 def rolling_canonical_kmers(codes: jnp.ndarray, lens: jnp.ndarray, k: int):
@@ -157,13 +239,8 @@ def _pseudoalign_core(
     B, W = canon.shape
     R = min(max_rows, W)
 
-    canon = jnp.where(valid, canon, 0)
-    idx = jnp.searchsorted(didx.kmer_keys, canon)
-    idx = jnp.minimum(idx, didx.kmer_keys.shape[0] - 1)
-    hit = valid & (didx.kmer_keys[idx] == canon)
-
-    block = jnp.where(hit, didx.kmer_block[idx], -1)
-    ec_row = jnp.where(hit, didx.block_ec[jnp.maximum(block, 0)], -1)
+    idx, hit = lookup_kmers(didx, canon, valid)
+    ec_row = jnp.where(hit, didx.kmer_ec[idx], -1)
 
     # distinct non-empty EC rows per read: sort, mask repeats, compact
     rows = jnp.where(hit & (ec_row >= 0), ec_row, INT32_MAX)
@@ -184,7 +261,7 @@ def _pseudoalign_core(
     kidx = idx[bidx, first]
     f_strand = is_fw[bidx, first] == didx.kmer_fw[kidx]
     f_uid = jnp.where(has_hits, didx.kmer_uid[kidx], -1)
-    f_block = jnp.where(has_hits, block[bidx, first], -1)
+    f_block = jnp.where(has_hits, didx.kmer_block[kidx], -1)
     f_upos = jnp.where(has_hits, didx.kmer_pos[kidx], -1)
     f_rpos = jnp.where(has_hits, first.astype(jnp.int32), -1)
 

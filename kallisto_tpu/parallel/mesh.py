@@ -20,7 +20,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.pseudoalign import DeviceIndex, pseudoalign_batch, rolling_canonical_kmers
+from ..ops.pseudoalign import (
+    DeviceIndex,
+    lookup_kmers,
+    pseudoalign_batch,
+    rolling_canonical_kmers,
+)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "reads") -> Mesh:
@@ -33,13 +38,8 @@ def make_mesh(n_devices: int | None = None, axis: str = "reads") -> Mesh:
 def _ec_row_histogram(didx: DeviceIndex, codes, lens, k: int, num_rows: int):
     """Per-shard histogram of EC-row hits (device-side reduction)."""
     canon, _, valid = rolling_canonical_kmers(codes, lens, k)
-    canon = jnp.where(valid, canon, 0)
-    idx = jnp.searchsorted(didx.kmer_keys, canon)
-    idx = jnp.minimum(idx, didx.kmer_keys.shape[0] - 1)
-    hit = valid & (didx.kmer_keys[idx] == canon)
-    block = jnp.where(hit, didx.kmer_block[idx], 0)
-    row = jnp.where(hit, didx.block_ec[block], num_rows)  # overflow bin
-    row = jnp.where(row < 0, num_rows, row)
+    idx, hit = lookup_kmers(didx, canon, valid)
+    row = jnp.where(hit & (didx.kmer_ec[idx] >= 0), didx.kmer_ec[idx], num_rows)
     return jnp.zeros(num_rows + 1, jnp.int32).at[row.reshape(-1)].add(
         hit.reshape(-1).astype(jnp.int32)
     )
