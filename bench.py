@@ -33,12 +33,11 @@ def main():
     import jax
 
     from kallisto_tpu.index import build_index
-    from kallisto_tpu.io.fastx import paired_batches
+    from kallisto_tpu.io.fastx import packed_paired_batches
     from kallisto_tpu.ops.pseudoalign import (
-        compact_pair_keys,
         device_index_from_host,
-        pack_codes_host,
-        pseudoalign_batch_packed,
+        pseudoalign_pair_compact_packed,
+        unflatten_ck_host,
     )
     from kallisto_tpu.quant.ecmap import EcResolver
     from kallisto_tpu.quant.pipeline import _make_pair_fetcher, _SideArrays
@@ -50,37 +49,45 @@ def main():
     didx = device_index_from_host(index)
 
     b1, b2 = next(
-        paired_batches(
+        packed_paired_batches(
             os.path.join(data, "reads_1.fastq.gz"),
             os.path.join(data, "reads_2.fastq.gz"),
             10000,
+            k=31,
         )
     )
     reps = 26  # 260k pairs per measured step
-    codes1 = np.tile(b1.codes, (reps, 1))
+    packed1 = np.tile(b1.packed, (reps, 1))
+    nmask1 = np.tile(b1.nmask, (reps, 1))
     lens1 = np.tile(b1.lens, reps)
-    codes2 = np.tile(b2.codes, (reps, 1))
+    packed2 = np.tile(b2.packed, (reps, 1))
+    nmask2 = np.tile(b2.nmask, (reps, 1))
     lens2 = np.tile(b2.lens, reps)
-    B = codes1.shape[0]
+    B = lens1.shape[0]
 
     resolver = EcResolver(index)
     k = index.k
 
     def dispatch():
         # identical to the steady-state path of quant/pipeline.py
-        # (dispatch_pair in compact mode): the device reduces each batch to
-        # a per-key histogram; only ~K unique keys cross the link.
-        p1, n1, L1 = pack_codes_host(codes1)
-        p2, n2, L2 = pack_codes_host(codes2)
-        r1 = pseudoalign_batch_packed(didx, p1, n1, lens1, k=k, L=L1)
-        r2 = pseudoalign_batch_packed(didx, p2, n2, lens2, k=k, L=L2)
-        return r1, r2, compact_pair_keys(r1, r2)
+        # (dispatch_pair in compact mode): batches arrive pre-packed from
+        # the native reader; the device reduces each batch to a per-key
+        # histogram so only ~K unique keys cross the link.  Buffers are
+        # copied so each step pays the real host->device upload.
+        p1, n1 = packed1.copy(), nmask1.copy()
+        p2, n2 = packed2.copy(), nmask2.copy()
+        return pseudoalign_pair_compact_packed(
+            didx, p1, n1, lens1, p2, n2, lens2, k=k, L=b1.Lp
+        )
 
     def process(ctx):
-        r1, r2, ck = ctx
+        r1, r2, ckflat = ctx
+        uniq_h, occ, first_idx, flags, n_uniq = unflatten_ck_host(
+            np.asarray(ckflat)
+        )
         s1, s2 = _SideArrays(r1), _SideArrays(r2)
         resolver.process_compact(
-            np.asarray(ck.uniq_h), np.asarray(ck.occ), np.asarray(ck.first_idx),
+            uniq_h, occ, first_idx,
             _make_pair_fetcher(r1, r2, s1, s2),
             int(r1.rows.shape[1]), paired=True,
         )

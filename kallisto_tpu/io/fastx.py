@@ -174,6 +174,63 @@ def single_batches(path: str, batch_reads: int, keep_names: bool = False) -> Ite
         s.close()
 
 
+def _read_batch_to_packed(rb: ReadBatch, k: int, pad_to: int = 8):
+    """Pad + 2-bit pack a ReadBatch (pure-Python fallback path, layout
+    identical to the native reader's output)."""
+    from ..native import PackedBatch
+    from ..ops.pseudoalign import pack_codes_host
+
+    B, L = rb.codes.shape
+    Lp = max(((max(L, k) + pad_to - 1) // pad_to) * pad_to, pad_to)
+    codes = rb.codes
+    if Lp > L:
+        codes = np.concatenate(
+            [codes, np.full((B, Lp - L), 4, np.uint8)], axis=1
+        )
+    packed, nmask, _ = pack_codes_host(codes)
+    return PackedBatch(packed, nmask, rb.lens, Lp, rb.names)
+
+
+def packed_single_batches(
+    path: str, batch_reads: int, k: int, keep_names: bool = False
+):
+    """Yield PackedBatch objects: native C++ reader when available
+    (decompress+parse+pack on a background thread), Python otherwise."""
+    from .. import native
+
+    if native.available():
+        r = native.NativeFastqReader(
+            path, batch_reads, pad_to=8, min_len=k, keep_names=keep_names
+        )
+        try:
+            while True:
+                b = r.next_batch()
+                if b is None:
+                    return
+                yield b
+        finally:
+            r.close()
+    else:
+        for rb in single_batches(path, batch_reads, keep_names=keep_names):
+            yield _read_batch_to_packed(rb, k)
+
+
+def packed_paired_batches(path1: str, path2: str, batch_reads: int, k: int):
+    """Yield aligned (PackedBatch, PackedBatch) pairs."""
+    s1 = packed_single_batches(path1, batch_reads, k)
+    s2 = packed_single_batches(path2, batch_reads, k)
+    while True:
+        b1 = next(s1, None)
+        b2 = next(s2, None)
+        if b1 is None or b2 is None:
+            if (b1 is None) != (b2 is None):
+                raise ValueError("paired FASTQ files have different record counts")
+            return
+        if b1.n != b2.n:
+            raise ValueError("paired FASTQ files have different record counts")
+        yield b1, b2
+
+
 def encode_seqs(seqs: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
     """Encode python strings into a padded code matrix (testing helper)."""
     lens = np.array([len(s) for s in seqs], dtype=np.int32)

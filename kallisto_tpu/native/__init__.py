@@ -1,0 +1,164 @@
+"""Native host runtime: C++ FASTQ reader producing device-ready batches.
+
+Auto-builds `libktio.so` from ktio.cpp with g++ on first use (cached by
+mtime).  Falls back cleanly: callers should catch ImportError/OSError from
+`load()` and use the pure-Python reader instead.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "ktio.cpp")
+_LIB = os.path.join(_HERE, "libktio.so")
+_ABI = 3
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _LIB, "-lz", "-pthread",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def load() -> ctypes.CDLL:
+    """Load (building if needed) the native IO library."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_LIB)
+        if lib.ktio_abi_version() != _ABI:
+            _build()
+            lib = ctypes.CDLL(_LIB)
+            if lib.ktio_abi_version() != _ABI:
+                raise OSError("libktio ABI mismatch after rebuild")
+        lib.ktio_open.restype = ctypes.c_void_p
+        lib.ktio_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.ktio_next.restype = ctypes.c_int
+        lib.ktio_next.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ktio_error.restype = ctypes.c_char_p
+        lib.ktio_error.argtypes = [ctypes.c_void_p]
+        lib.ktio_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return lib
+
+
+class PackedBatch:
+    """A batch of reads already in device upload format.
+
+    packed: [n, Lp//4] uint8 2-bit codes; nmask: [n, Lp//8] uint8 N/pad
+    bits (little bit order); lens: [n] int32; Lp: padded read length.
+    """
+
+    __slots__ = ("packed", "nmask", "lens", "Lp", "names")
+
+    def __init__(self, packed, nmask, lens, Lp, names: Optional[List[bytes]] = None):
+        self.packed = packed
+        self.nmask = nmask
+        self.lens = lens
+        self.Lp = int(Lp)
+        self.names = names
+
+    @property
+    def n(self) -> int:
+        return int(self.lens.shape[0])
+
+    def row_codes(self, i: int) -> np.ndarray:
+        """Decode one read back to uint8 base codes (0..3, 4=N/pad) --
+        used only for rare host-fallback re-resolution."""
+        pk = np.unpackbits(self.packed[i], bitorder="little").reshape(-1, 2)
+        codes = (pk[:, 0] | (pk[:, 1] << 1)).astype(np.uint8)
+        nm = np.unpackbits(self.nmask[i], bitorder="little")[: codes.shape[0]]
+        return np.where(nm == 1, np.uint8(4), codes)
+
+
+class NativeFastqReader:
+    """Streaming reader over one (gzipped) FASTQ file, prefetching and
+    packing batches on a native background thread."""
+
+    def __init__(self, path: str, batch_reads: int, pad_to: int = 8,
+                 min_len: int = 31, keep_names: bool = False):
+        self._lib = load()
+        self._h = self._lib.ktio_open(
+            path.encode(), batch_reads, pad_to, min_len, int(keep_names)
+        )
+        if not self._h:
+            raise OSError(f"ktio_open failed for {path}")
+        self._keep_names = keep_names
+
+    def next_batch(self) -> Optional[PackedBatch]:
+        pk = ctypes.POINTER(ctypes.c_uint8)()
+        nm = ctypes.POINTER(ctypes.c_uint8)()
+        ln = ctypes.POINTER(ctypes.c_int32)()
+        nme = ctypes.POINTER(ctypes.c_uint8)()
+        noff = ctypes.POINTER(ctypes.c_int32)()
+        n = ctypes.c_int32()
+        Lp = ctypes.c_int32()
+        rc = self._lib.ktio_next(
+            self._h, ctypes.byref(pk), ctypes.byref(nm), ctypes.byref(ln),
+            ctypes.byref(nme), ctypes.byref(noff), ctypes.byref(n),
+            ctypes.byref(Lp),
+        )
+        if rc == 0:
+            return None
+        if rc < 0:
+            raise IOError(self._lib.ktio_error(self._h).decode())
+        B, L = n.value, Lp.value
+        # copy out: the native buffers are reused on the next call
+        packed = np.ctypeslib.as_array(pk, shape=(B, L // 4)).copy()
+        nmask = np.ctypeslib.as_array(nm, shape=(B, L // 8)).copy()
+        lens = np.ctypeslib.as_array(ln, shape=(B,)).copy()
+        names = None
+        if self._keep_names:
+            off = np.ctypeslib.as_array(noff, shape=(B + 1,))
+            nbytes = int(off[-1])
+            raw = (
+                bytes(np.ctypeslib.as_array(nme, shape=(nbytes,)))
+                if nbytes else b""
+            )
+            names = [raw[off[i]:off[i + 1]] for i in range(B)]
+        return PackedBatch(packed, nmask, lens, L, names)
+
+    def close(self):
+        if self._h:
+            self._lib.ktio_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except Exception:
+        return False

@@ -49,9 +49,32 @@ class DeviceIndex(NamedTuple):
     kmer_ec: jnp.ndarray       # [N] int32 EC row, -1 = empty/wildcard
 
 
+class PaddedDeviceIndex(NamedTuple):
+    """Small/medium-index layout: fixed-width hash buckets.
+
+    One row gather fetches a query's whole candidate bucket (S contiguous
+    slots), so a lookup is 2 gather passes (keys row + EC row) instead of
+    ~10 -- gathers are the throughput limiter on TPU.  Memory is
+    2^p * S * 12 B; device_index_from_host falls back to the bucketed
+    binary-search layout (DeviceIndex) when that exceeds its budget.
+    """
+
+    bucket_keys: jnp.ndarray  # [M, S] uint64 mixed k-mers, _EMPTY_SLOT pad
+    bucket_ec: jnp.ndarray    # [M, S] int32 EC row (-1 = empty/wildcard EC)
+    kmer_uid: jnp.ndarray     # [M*S] int32 (slot order)
+    kmer_pos: jnp.ndarray     # [M*S] int32
+    kmer_fw: jnp.ndarray      # [M*S] bool
+    kmer_block: jnp.ndarray   # [M*S] int32
+
+
+_EMPTY_SLOT = np.uint64(0xFFFFFFFFFFFFFFFF)
+
 # Fixed probe depth: buckets are sized (by raising p) to hold < 2^DEPTH
 # entries, so the branchless lower_bound below always terminates exactly.
 _BUCKET_SEARCH_DEPTH = 6
+
+# Padded layout budget: bucket tables + slot payloads stay under this.
+_PADDED_BYTES_BUDGET = 1 << 30
 
 
 def _mix64_np(x: np.ndarray) -> np.ndarray:
@@ -76,8 +99,9 @@ def _mix64_jnp(x: jnp.ndarray) -> jnp.ndarray:
     return x ^ (x >> jnp.uint64(31))
 
 
-def device_index_from_host(index) -> DeviceIndex:
+def device_index_from_host(index):
     mk = _mix64_np(index.kmer_keys)
+    assert not (mk == _EMPTY_SLOT).any(), "hash collided with empty sentinel"
     order = np.argsort(mk)
     mk = mk[order]
     N = mk.shape[0]
@@ -97,6 +121,31 @@ def device_index_from_host(index) -> DeviceIndex:
     kmer_ec = np.where(
         kmer_block >= 0, index.block_ec[np.maximum(kmer_block, 0)], -1
     ).astype(np.int32)
+
+    S = 1 << max(int(np.ceil(np.log2(max(int(counts.max()), 1)))), 0)
+    M = 1 << p
+    if M * S * 12 <= _PADDED_BYTES_BUDGET:
+        slot = np.arange(N, dtype=np.int64) - bucket_start[bid].astype(np.int64)
+        flat = bid * S + slot
+        bucket_keys = np.full(M * S, _EMPTY_SLOT, np.uint64)
+        bucket_ec = np.full(M * S, -1, np.int32)
+        bucket_keys[flat] = mk
+        bucket_ec[flat] = kmer_ec
+
+        def scatter(a, fill):
+            out = np.full(M * S, fill, a.dtype)
+            out[flat] = a
+            return out
+
+        return PaddedDeviceIndex(
+            bucket_keys=jnp.asarray(bucket_keys.reshape(M, S)),
+            bucket_ec=jnp.asarray(bucket_ec.reshape(M, S)),
+            kmer_uid=jnp.asarray(scatter(index.kmer_uid[order], -1)),
+            kmer_pos=jnp.asarray(scatter(index.kmer_pos[order], -1)),
+            kmer_fw=jnp.asarray(scatter(index.kmer_fw[order], False)),
+            kmer_block=jnp.asarray(scatter(kmer_block, -1)),
+        )
+
     return DeviceIndex(
         kmer_hkeys=jnp.asarray(mk),
         bucket_start=jnp.asarray(bucket_start),
@@ -108,14 +157,27 @@ def device_index_from_host(index) -> DeviceIndex:
     )
 
 
-def lookup_kmers(didx: DeviceIndex, canon: jnp.ndarray, valid: jnp.ndarray):
+def lookup_kmers(didx, canon: jnp.ndarray, valid: jnp.ndarray):
     """Batched k-mer -> index-slot lookup.
 
     canon: int64 canonical k-mers (any shape); valid: same-shape bool.
-    Returns (idx, hit): slot into the hash-ordered kmer_* arrays and a
-    hit mask.  Branchless: bucket range fetch + fixed-depth lower_bound.
+    Returns (idx, hit, ec): slot into the slot-ordered kmer_* payload
+    arrays, a hit mask, and the EC row (-1 when miss or wildcard).
+    Branchless on both layouts; the layout is a trace-time constant.
     """
     q = _mix64_jnp(jnp.where(valid, canon, 0))
+    if isinstance(didx, PaddedDeviceIndex):
+        M, S = didx.bucket_keys.shape
+        p = int(np.log2(M) + 0.5)
+        b = (q >> jnp.uint64(64 - p)).astype(jnp.int32)
+        keys = jnp.take(didx.bucket_keys, b, axis=0)    # [..., S] one gather
+        ecs = jnp.take(didx.bucket_ec, b, axis=0)       # [..., S] one gather
+        match = keys == q[..., None]
+        hit = valid & jnp.any(match, axis=-1)
+        j = jnp.argmax(match, axis=-1)
+        ec = jnp.where(hit, jnp.sum(jnp.where(match, ecs, 0), axis=-1), -1)
+        idx = b.astype(jnp.int64) * S + j
+        return idx, hit, ec
     p = int(np.log2(didx.bucket_start.shape[0] - 1) + 0.5)
     b = (q >> jnp.uint64(64 - p)).astype(jnp.int32)
     lo = didx.bucket_start[b].astype(jnp.int32)
@@ -130,7 +192,8 @@ def lookup_kmers(didx: DeviceIndex, canon: jnp.ndarray, valid: jnp.ndarray):
         n = jnp.where(go, n - half - 1, jnp.where(nz, half, 0))
     idx = jnp.minimum(lo, N - 1)
     hit = valid & (didx.kmer_hkeys[idx] == q)
-    return idx, hit
+    ec = jnp.where(hit, didx.kmer_ec[idx], -1)
+    return idx, hit, ec
 
 
 def rolling_canonical_kmers(codes: jnp.ndarray, lens: jnp.ndarray, k: int):
@@ -239,8 +302,7 @@ def _pseudoalign_core(
     B, W = canon.shape
     R = min(max_rows, W)
 
-    idx, hit = lookup_kmers(didx, canon, valid)
-    ec_row = jnp.where(hit, didx.kmer_ec[idx], -1)
+    idx, hit, ec_row = lookup_kmers(didx, canon, valid)
 
     # distinct non-empty EC rows per read: sort, mask repeats, compact
     rows = jnp.where(hit & (ec_row >= 0), ec_row, INT32_MAX)
@@ -402,6 +464,85 @@ def _compact_keys(h: jnp.ndarray, flags: jnp.ndarray, K: int) -> CompactKeys:
         flags=fl,
         n_uniq=n_uniq,
     )
+
+
+def _ck_flat(ck: CompactKeys) -> jnp.ndarray:
+    """Flatten CompactKeys into one [K+1, 5] int64 array so a single
+    device->host transfer fetches the whole per-batch histogram (each
+    transfer pays full link latency under tunneled TPUs)."""
+    rows = jnp.stack(
+        [
+            ck.uniq_h[:, 0],
+            ck.uniq_h[:, 1],
+            ck.occ.astype(jnp.int64),
+            ck.first_idx.astype(jnp.int64),
+            ck.flags.astype(jnp.int64),
+        ],
+        axis=1,
+    )
+    meta = jnp.zeros((1, 5), jnp.int64).at[0, 0].set(ck.n_uniq.astype(jnp.int64))
+    return jnp.concatenate([rows, meta], axis=0)
+
+
+def unflatten_ck_host(arr: np.ndarray):
+    """Host-side inverse of _ck_flat.
+
+    Returns (uniq_h [K,2] int64, occ int32, first_idx int32, flags int32,
+    n_uniq int)."""
+    rows, meta = arr[:-1], arr[-1]
+    uniq_h = np.ascontiguousarray(rows[:, :2])
+    return (
+        uniq_h,
+        rows[:, 2].astype(np.int32),
+        rows[:, 3].astype(np.int32),
+        rows[:, 4].astype(np.int32),
+        int(meta[0]),
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
+def pseudoalign_pair_compact_packed(
+    didx: DeviceIndex,
+    p1: jnp.ndarray,
+    n1: jnp.ndarray,
+    l1: jnp.ndarray,
+    p2: jnp.ndarray,
+    n2: jnp.ndarray,
+    l2: jnp.ndarray,
+    k: int,
+    L: int,
+    max_rows: int = 16,
+    max_keys: int = 16384,
+):
+    """Fused steady-state pair step: both mates pseudoaligned in one
+    [2B] batch, reduced to a per-key histogram, one kernel launch and
+    one flat output."""
+    B = p1.shape[0]
+    codes = jnp.concatenate(
+        [unpack_codes_device(p1, n1, L), unpack_codes_device(p2, n2, L)]
+    )
+    lens = jnp.concatenate([l1, l2])
+    r = _pseudoalign_core(didx, codes, lens, k, max_rows)
+    r1 = SideResult(*(a[:B] for a in r))
+    r2 = SideResult(*(a[B:] for a in r))
+    ck = compact_pair_keys(r1, r2, max_keys)
+    return r1, r2, _ck_flat(ck)
+
+
+@partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
+def pseudoalign_single_compact_packed(
+    didx: DeviceIndex,
+    p1: jnp.ndarray,
+    n1: jnp.ndarray,
+    l1: jnp.ndarray,
+    k: int,
+    L: int,
+    max_rows: int = 16,
+    max_keys: int = 16384,
+):
+    r1 = _pseudoalign_core(didx, unpack_codes_device(p1, n1, L), l1, k, max_rows)
+    ck = compact_single_keys(r1, max_keys)
+    return r1, _ck_flat(ck)
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -38,8 +38,8 @@ def make_mesh(n_devices: int | None = None, axis: str = "reads") -> Mesh:
 def _ec_row_histogram(didx: DeviceIndex, codes, lens, k: int, num_rows: int):
     """Per-shard histogram of EC-row hits (device-side reduction)."""
     canon, _, valid = rolling_canonical_kmers(codes, lens, k)
-    idx, hit = lookup_kmers(didx, canon, valid)
-    row = jnp.where(hit & (didx.kmer_ec[idx] >= 0), didx.kmer_ec[idx], num_rows)
+    idx, hit, ec = lookup_kmers(didx, canon, valid)
+    row = jnp.where(hit & (ec >= 0), ec, num_rows)
     return jnp.zeros(num_rows + 1, jnp.int32).at[row.reshape(-1)].add(
         hit.reshape(-1).astype(jnp.int32)
     )

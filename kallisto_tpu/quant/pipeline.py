@@ -18,18 +18,19 @@ from ..common import MAX_FRAG_LEN, Options, REFERENCE_INDEX_VERSION
 from ..index import load_index
 from ..index.build import TpuIndex
 from ..io import writers
-from ..io.fastx import paired_batches, single_batches, ReadBatch
+from ..io.fastx import packed_paired_batches, packed_single_batches
+from ..native import PackedBatch
 from ..ops.pseudoalign import (
     DeviceIndex,
-    compact_pair_keys,
-    compact_single_keys,
     device_index_from_host,
     gather_rows,
-    pack_codes_host,
     pair_fragment_lengths,
     pair_key_hash,
     pseudoalign_batch_packed,
+    pseudoalign_pair_compact_packed,
+    pseudoalign_single_compact_packed,
     single_key_hash,
+    unflatten_ck_host,
 )
 from .ecmap import EcResolver
 from .em import EmResult, build_em_problem, counts_to_tpm, run_em
@@ -63,23 +64,11 @@ class QuantResult:
     bootstraps: Optional[np.ndarray] = None  # [B, T] bootstrap est_counts
 
 
-def _pad_batch(batch: ReadBatch, k: int, pad_to: int = 32) -> Tuple[np.ndarray, np.ndarray]:
-    """Pad read length to a bucket so jit recompiles rarely."""
-    B, L = batch.codes.shape
-    L_target = max(((max(L, k) + pad_to - 1) // pad_to) * pad_to, k + pad_to - 1)
-    if L_target > L:
-        pad = np.full((B, L_target - L), 4, np.uint8)
-        codes = np.concatenate([batch.codes, pad], axis=1)
-    else:
-        codes = batch.codes
-    return codes, batch.lens
-
-
-def _dispatch_side(didx: DeviceIndex, batch: ReadBatch, k: int):
-    """Pack + upload one mate's batch and enqueue pseudoalignment (async)."""
-    codes, lens = _pad_batch(batch, k)
-    packed, nmask, L = pack_codes_host(codes)
-    return pseudoalign_batch_packed(didx, packed, nmask, lens, k=k, L=L)
+def _dispatch_side(didx: DeviceIndex, batch: PackedBatch, k: int):
+    """Upload one mate's pre-packed batch and enqueue pseudoalignment."""
+    return pseudoalign_batch_packed(
+        didx, batch.packed, batch.nmask, batch.lens, k=k, L=batch.Lp
+    )
 
 
 class _SideArrays:
@@ -166,9 +155,9 @@ def _apply_overflow_fallback(
         s2, b2 = side2
         ovf |= s2.overflow
     for r in np.flatnonzero(ovf):
-        rows1, hits1 = host_side_rows(index, b1.codes[r], int(b1.lens[r]))
+        rows1, hits1 = host_side_rows(index, b1.row_codes(r), int(b1.lens[r]))
         if side2 is not None:
-            rows2, hits2 = host_side_rows(index, b2.codes[r], int(b2.lens[r]))
+            rows2, hits2 = host_side_rows(index, b2.row_codes(r), int(b2.lens[r]))
             u = resolver.resolve_rows(rows1, hits1, rows2, hits2, True, do_union)
         else:
             u = resolver.resolve_rows(
@@ -199,17 +188,22 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     if opt.strand in ("fr", "rf"):
         strand_filter = StrandFilter(index, opt.strand)
 
-    def dispatch_pair(b1: ReadBatch, b2: ReadBatch, want_fld: bool):
+    def dispatch_pair(b1: PackedBatch, b2: PackedBatch, want_fld: bool):
         """Enqueue one pair batch on the device (async); returns a context.
 
         Once flens collection is done and no per-read filter is active, the
         batch is reduced to a per-key histogram on device (compact mode);
         otherwise per-read hashes are produced.
         """
+        if (not want_fld and pos_filter is None and strand_filter is None
+                and b1.Lp == b2.Lp):
+            r1, r2, ckflat = pseudoalign_pair_compact_packed(
+                didx, b1.packed, b1.nmask, b1.lens,
+                b2.packed, b2.nmask, b2.lens, k=k, L=b1.Lp,
+            )
+            return ("compact", b1, b2, r1, r2, ckflat)
         r1 = _dispatch_side(didx, b1, k)
         r2 = _dispatch_side(didx, b2, k)
-        if not want_fld and pos_filter is None and strand_filter is None:
-            return ("compact", b1, b2, r1, r2, compact_pair_keys(r1, r2))
         h = pair_key_hash(r1, r2)
         tl = pair_fragment_lengths(r1, r2, k=k) if want_fld else None
         return ("full", b1, b2, r1, r2, h, tl)
@@ -217,16 +211,16 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     def process_pair(ctx):
         nonlocal num_processed, tlencount
         if ctx[0] == "compact":
-            _, b1, b2, r1, r2, ck = ctx
-            n_uniq = int(ck.n_uniq)
-            occ = np.asarray(ck.occ)
-            flags = np.asarray(ck.flags)
+            _, b1, b2, r1, r2, ckflat = ctx
+            uniq_h, occ, first_idx, flags, n_uniq = unflatten_ck_host(
+                np.asarray(ckflat)
+            )
             K = occ.shape[0]
             no_overflow = not (flags[occ > 0] & 12).any()
             if n_uniq <= K and no_overflow:
                 s1, s2 = _SideArrays(r1), _SideArrays(r2)
                 resolver.process_compact(
-                    np.asarray(ck.uniq_h), occ, np.asarray(ck.first_idx),
+                    uniq_h, occ, first_idx,
                     _make_pair_fetcher(r1, r2, s1, s2),
                     int(r1.rows.shape[1]), paired=True, do_union=opt.do_union,
                 )
@@ -279,24 +273,27 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             np.add.at(flens, tl_h[take], 1)
             tlencount += take.shape[0]
 
-    def dispatch_single(b1: ReadBatch):
-        r1 = _dispatch_side(didx, b1, k)
+    def dispatch_single(b1: PackedBatch):
         if pos_filter is None and strand_filter is None and not opt.do_union:
-            return ("compact", b1, r1, compact_single_keys(r1))
+            r1, ckflat = pseudoalign_single_compact_packed(
+                didx, b1.packed, b1.nmask, b1.lens, k=k, L=b1.Lp
+            )
+            return ("compact", b1, r1, ckflat)
+        r1 = _dispatch_side(didx, b1, k)
         return ("full", b1, r1, single_key_hash(r1))
 
     def process_single(ctx):
         nonlocal num_processed
         if ctx[0] == "compact":
-            _, b1, r1, ck = ctx
-            n_uniq = int(ck.n_uniq)
-            occ = np.asarray(ck.occ)
-            flags = np.asarray(ck.flags)
+            _, b1, r1, ckflat = ctx
+            uniq_h, occ, first_idx, flags, n_uniq = unflatten_ck_host(
+                np.asarray(ckflat)
+            )
             no_overflow = not (flags[occ > 0] & 12).any()
             if n_uniq <= occ.shape[0] and no_overflow:
                 s1 = _SideArrays(r1)
                 resolver.process_compact(
-                    np.asarray(ck.uniq_h), occ, np.asarray(ck.first_idx),
+                    uniq_h, occ, first_idx,
                     _make_single_fetcher(r1, s1),
                     int(r1.rows.shape[1]), paired=False, do_union=opt.do_union,
                 )
@@ -336,7 +333,9 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             (opt.files[i], opt.files[i + 1]) for i in range(0, len(opt.files), 2)
         ]
         batch_iter = (
-            b for f1, f2 in file_pairs for b in paired_batches(f1, f2, opt.batch_size)
+            b
+            for f1, f2 in file_pairs
+            for b in packed_paired_batches(f1, f2, opt.batch_size, k)
         )
         pending = None
         for b1, b2 in batch_iter:
@@ -351,7 +350,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         if opt.fld_mean <= 0 or opt.fld_sd <= 0:
             raise ValueError("single-end mode requires -l and -s")
         batch_iter = (
-            b for f in opt.files for b in single_batches(f, opt.batch_size)
+            b for f in opt.files for b in packed_single_batches(f, opt.batch_size, k)
         )
         pending = None
         for b1 in batch_iter:

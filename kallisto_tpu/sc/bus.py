@@ -24,7 +24,7 @@ from .. import KALLISTO_COMPAT_VERSION
 from ..common import MAX_FRAG_LEN, Options, REFERENCE_INDEX_VERSION
 from ..index import load_index, save_index
 from ..io import writers
-from ..io.fastx import ReadBatch, single_batches
+from ..io.fastx import ReadBatch, _read_batch_to_packed, single_batches
 from ..ops.pseudoalign import device_index_from_host, pair_fragment_lengths
 from ..quant.ecmap import EcResolver
 from ..quant.filters import StrandFilter
@@ -250,10 +250,10 @@ def run_bus(opt: Options, index=None) -> BusResult:
                 ReadBatch(codes=b.codes[sel], lens=b.lens[sel]) for b in batches
             ]
             seq1 = _extract_seq(sub, [bus.seq[0]] if bus.paired else bus.seq)
-            r1 = _dispatch_side(didx, seq1, k)
+            r1 = _dispatch_side(didx, _read_batch_to_packed(seq1, k), k)
             if bus.paired:
                 seq2 = _extract_seq(sub, [bus.seq[1]])
-                r2 = _dispatch_side(didx, seq2, k)
+                r2 = _dispatch_side(didx, _read_batch_to_packed(seq2, k), k)
                 h = np.asarray(pair_key_hash(r1, r2))
                 s1, s2 = _SideArrays(r1), _SideArrays(r2)
                 read_uidx, uniq_sets = resolver.resolve_batch_hashed(
