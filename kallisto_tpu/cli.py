@@ -72,6 +72,9 @@ def _cmd_quant(args):
                  "single-end reads using -l and -s")
     if not args.single and len(args.reads) % 2 != 0:
         sys.exit("Error: paired-end mode requires an even number of FASTQ files")
+    if args.fr_stranded and args.rf_stranded:
+        sys.exit("Error: cannot specify both --fr-stranded and --rf-stranded")
+    strand = "fr" if args.fr_stranded else ("rf" if args.rf_stranded else None)
     opt = Options(
         index_path=args.index,
         output_dir=args.output_dir,
@@ -84,6 +87,8 @@ def _cmd_quant(args):
         plaintext=args.plaintext,
         write_index=args.write_index,
         single_overhang=args.single_overhang,
+        bias=args.bias,
+        strand=strand,
         do_union=args.union,
         no_jump=args.no_jump,
         priors=args.priors or "",
@@ -190,6 +195,10 @@ def main(argv=None):
     p.add_argument("--plaintext", action="store_true")
     p.add_argument("--write-index", action="store_true")
     p.add_argument("--single-overhang", action="store_true")
+    p.add_argument("--fr-stranded", action="store_true")
+    p.add_argument("--rf-stranded", action="store_true")
+    p.add_argument("--bias", action="store_true")
+    p.add_argument("--verbose", action="store_true")
     p.add_argument("--union", action="store_true")
     p.add_argument("--no-jump", action="store_true")
     p.add_argument("--priors", default=None)

@@ -77,6 +77,12 @@ class TpuIndex:
     unitig_seq_off: np.ndarray       # [U+1] int64 offsets into unitig_seq
     unitig_seq: np.ndarray           # [sum len] uint8 base codes
 
+    # sanitized target sequences (base codes 0..3), for hexamer bias
+    # correction (reference: KmerIndex::loadTranscriptSequences used by
+    # update_eff_lens, src/weights.cpp:101)
+    target_seq_off: np.ndarray = field(default_factory=lambda: np.zeros(1, np.int64))
+    target_seq: np.ndarray = field(default_factory=lambda: np.empty(0, np.uint8))
+
     # D-list (distinguishing flanking k-mers); empty when unused
     dlist_keys: np.ndarray = field(default_factory=lambda: np.empty(0, np.uint64))
 
@@ -606,4 +612,13 @@ def build_index(
         unitig_nkmers=unitig_nkmers,
         unitig_seq_off=useq_off,
         unitig_seq=useq,
+        target_seq_off=np.concatenate(
+            [[0], np.cumsum([len(s) for s in san.seqs])]
+        ).astype(np.int64),
+        target_seq=(
+            BASE_CODE[
+                np.frombuffer("".join(san.seqs).encode(), dtype=np.uint8)
+            ]
+            if san.seqs else np.empty(0, np.uint8)
+        ),
     )

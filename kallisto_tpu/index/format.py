@@ -20,6 +20,7 @@ _ARRAY_FIELDS = [
     "ec_ptr", "ec_tx", "bp_ptr", "bp_tx", "bp_pos", "bp_rstart", "bp_rstop",
     "bp_strand",
     "unitig_nkmers", "unitig_seq_off", "unitig_seq",
+    "target_seq_off", "target_seq",
     "dlist_keys",
 ]
 

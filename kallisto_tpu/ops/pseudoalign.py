@@ -545,6 +545,58 @@ def pseudoalign_single_compact_packed(
     return r1, _ck_flat(ck)
 
 
+class BiasTables(NamedTuple):
+    """Device tables for 5' hexamer extraction (bias correction)."""
+
+    block_start: jnp.ndarray  # [NB] int32 first k-mer pos of mosaic block
+    block_end: jnp.ndarray    # [NB] int32 exclusive end
+    useq: jnp.ndarray         # [sum len] uint8 unitig base codes
+    useq_off: jnp.ndarray     # [U+1] int64
+
+
+def bias_tables_from_host(index) -> BiasTables:
+    return BiasTables(
+        block_start=jnp.asarray(index.block_start),
+        block_end=jnp.asarray(index.block_end),
+        useq=jnp.asarray(index.unitig_seq),
+        useq_off=jnp.asarray(index.unitig_seq_off),
+    )
+
+
+@partial(jax.jit, static_argnames=("k",))
+def bias_hexamers(bt: BiasTables, s1: SideResult, valid: jnp.ndarray, k: int):
+    """Per-read upstream hexamer id (or -1), from mate 1's first hit.
+
+    reference: MinCollector::countBias getPreSeq (src/MinCollector.cpp:
+    684-721): fragment-start context on the unitig, pre=2/post=4; the
+    forward case reads the 6-mer reverse-complemented, the reverse case
+    forward (hexamerToInt revcomp flag).
+    """
+    pre, post = 2, 4
+    blk = jnp.maximum(s1.f_block, 0)
+    cstart = bt.block_start[blk]
+    clen = bt.block_end[blk] - cstart
+    pos = s1.f_upos - cstart
+    p = s1.f_rpos
+    base = bt.useq_off[jnp.maximum(s1.f_uid, 0)]
+    fw_ok = s1.f_strand & (pos - p >= pre)
+    rc_ok = (~s1.f_strand) & (clen - 1 - pos - p >= pre)
+    start_fw = base + (s1.f_upos - p - pre)
+    start_rc = base + (s1.f_upos + p + k - post)
+    start = jnp.where(fw_ok, start_fw, start_rc)
+    start = jnp.clip(start, 0, bt.useq.shape[0] - 6)
+    hex_fw = jnp.zeros_like(start, dtype=jnp.int32)
+    hex_rc = jnp.zeros_like(start, dtype=jnp.int32)
+    for m in range(6):
+        c = bt.useq[start + m].astype(jnp.int32)
+        hex_fw = hex_fw | ((3 - c) << (2 * m))       # revcomp read
+        hex_rc = hex_rc | (c << (2 * (5 - m)))       # forward read
+    ok = valid & s1.has_hits
+    return jnp.where(
+        ok & fw_ok, hex_fw, jnp.where(ok & rc_ok, hex_rc, -1)
+    ).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def pair_fragment_lengths(s1: SideResult, s2: SideResult, k: int) -> jnp.ndarray:
     """Inferred fragment length per pair, -1 when not inferable.

@@ -98,7 +98,13 @@ def _em_loop(
     num_multi: int,
     n_iter: int,
     min_rounds: int,
+    state=None,
 ):
+    """Run the EM while-loop from `state` (or a fresh start) until
+    convergence or the global iteration counter reaches n_iter.  The state
+    carries the global iteration number so callers can interleave host-side
+    effective-length recomputation (bias) between segments while keeping
+    the reference's exact convergence/final-round bookkeeping."""
     alpha0 = jnp.full(num_trans, 1.0 / num_trans, singleton_alpha.dtype)
 
     def body(state):
@@ -125,8 +131,16 @@ def _em_loop(
         _, i, _, done, _ = state
         return (~done) & (i < n_iter)
 
-    init = (alpha0, jnp.int64(0), jnp.bool_(False), jnp.bool_(False), alpha0)
-    alpha, i, final_round, done, before_zeroes = jax.lax.while_loop(cond, body, init)
+    init = (
+        (alpha0, jnp.int64(0), jnp.bool_(False), jnp.bool_(False), alpha0)
+        if state is None
+        else state
+    )
+    return jax.lax.while_loop(cond, body, init)
+
+
+def _finish_em_state(state):
+    alpha, i, final_round, done, before_zeroes = state
     # if we ran out of iterations without converging, alpha_before_zeroes
     # is simply the final alpha (reference: EMAlgorithm.h:359-365)
     before_zeroes = jnp.where(done, before_zeroes, alpha)
@@ -135,7 +149,18 @@ def _em_loop(
     return alpha, before_zeroes, n_rounds
 
 
+def _em_full(singleton_alpha, flat_tx, flat_ec, multi_counts, inv_eff,
+             num_trans, num_multi, n_iter, min_rounds):
+    return _finish_em_state(_em_loop(
+        singleton_alpha, flat_tx, flat_ec, multi_counts, inv_eff,
+        num_trans, num_multi, n_iter, min_rounds,
+    ))
+
+
 _run_em_jax = partial(jax.jit, static_argnames=(
+    "num_trans", "num_multi", "n_iter", "min_rounds"))(_em_full)
+
+_run_em_segment_jax = partial(jax.jit, static_argnames=(
     "num_trans", "num_multi", "n_iter", "min_rounds"))(_em_loop)
 
 
@@ -157,7 +182,7 @@ def _run_em_batch_jax(
 ):
     """vmapped EM over replicates/cells (shared EC structure)."""
     return jax.vmap(
-        lambda sa, mc, ie: _em_loop(
+        lambda sa, mc, ie: _em_full(
             sa, flat_tx, flat_ec, mc, ie,
             num_trans, num_multi, n_iter, min_rounds,
         ),
@@ -169,6 +194,8 @@ class EmResult(NamedTuple):
     alpha: np.ndarray
     alpha_before_zeroes: np.ndarray
     n_rounds: int
+    eff_lens: Optional[np.ndarray] = None  # bias-corrected (when bias ran)
+    post_bias: Optional[np.ndarray] = None  # [4096] expected hexamer dist
 
 
 def run_em(
@@ -177,8 +204,16 @@ def run_em(
     eff_lens: np.ndarray,
     n_iter: int = 10000,
     min_rounds: int = 50,
+    bias_update=None,
 ) -> EmResult:
-    """Run the EM to convergence (host/CPU device, float64)."""
+    """Run the EM to convergence (host/CPU device, float64).
+
+    bias_update: optional callable(alpha, eff_lens) -> (eff_lens, post_bias)
+    invoked at global iterations min_rounds and min_rounds+500, exactly as
+    the reference's update_eff_lens hook (EMAlgorithm.h:113-116).  Weights
+    need no separate recomputation: the reference's w = count/eff_len makes
+    the count factor cancel, so only 1/eff_len enters the update.
+    """
     T = problem.num_trans
     singleton_alpha = np.zeros(T, np.float64)
     if problem.singleton_tx.size:
@@ -188,23 +223,48 @@ def run_em(
     multi_counts = counts[problem.multi_ec_ids].astype(np.float64)
     inv_eff = 1.0 / eff_lens.astype(np.float64)
 
+    num_multi = int(problem.multi_ec_ids.shape[0])
+    args = (
+        jnp.asarray(singleton_alpha),
+        jnp.asarray(problem.flat_tx),
+        jnp.asarray(problem.flat_ec),
+        jnp.asarray(multi_counts),
+    )
     cpu = jax.devices("cpu")[0]
+    post_bias = None
     with jax.default_device(cpu):
-        alpha, before, i = _run_em_jax(
-            jnp.asarray(singleton_alpha),
-            jnp.asarray(problem.flat_tx),
-            jnp.asarray(problem.flat_ec),
-            jnp.asarray(multi_counts),
-            jnp.asarray(inv_eff),
-            num_trans=T,
-            num_multi=int(problem.multi_ec_ids.shape[0]),
-            n_iter=n_iter,
-            min_rounds=min_rounds,
-        )
+        if bias_update is None:
+            alpha, before, i = _run_em_jax(
+                *args, jnp.asarray(inv_eff),
+                num_trans=T, num_multi=num_multi,
+                n_iter=n_iter, min_rounds=min_rounds,
+            )
+        else:
+            state = None
+            cur_eff = eff_lens.astype(np.float64)
+            for bound in (min_rounds, min_rounds + 500, n_iter):
+                if state is not None:
+                    if bool(state[3]):  # done: converged in prior segment
+                        break
+                    # reference recomputes at the top of iterations 50/550
+                    # whenever the loop reaches them (EMAlgorithm.h:113-116)
+                    cur_eff, post_bias = bias_update(
+                        np.asarray(state[0]), cur_eff
+                    )
+                state = _run_em_segment_jax(
+                    *args, jnp.asarray(1.0 / cur_eff),
+                    num_trans=T, num_multi=num_multi,
+                    n_iter=bound, min_rounds=min_rounds,
+                    state=state,
+                )
+            alpha, before, i = _finish_em_state(state)
+            eff_lens = cur_eff
     return EmResult(
         alpha=np.asarray(alpha),
         alpha_before_zeroes=np.asarray(before),
         n_rounds=int(i),
+        eff_lens=np.asarray(eff_lens, np.float64),
+        post_bias=post_bias,
     )
 
 

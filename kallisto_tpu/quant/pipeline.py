@@ -22,6 +22,8 @@ from ..io.fastx import packed_paired_batches, packed_single_batches
 from ..native import PackedBatch
 from ..ops.pseudoalign import (
     DeviceIndex,
+    bias_hexamers,
+    bias_tables_from_host,
     device_index_from_host,
     gather_rows,
     pair_fragment_lengths,
@@ -32,6 +34,7 @@ from ..ops.pseudoalign import (
     single_key_hash,
     unflatten_ck_host,
 )
+from .bias import NUM_6MERS, TranscriptHexamers, update_eff_lens
 from .ecmap import EcResolver
 from .em import EmResult, build_em_problem, counts_to_tpm, run_em
 from .filters import FldPositionFilter, StrandFilter
@@ -44,6 +47,7 @@ from .fld import (
 )
 
 _FLEN_GOAL = 10000  # reference: ProcessReads.cpp:985
+_BIAS_GOAL = 1000000  # reference: ProcessReads.h:178 maxBiasCount
 
 
 @dataclass
@@ -180,6 +184,9 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     flens = np.zeros(MAX_FRAG_LEN, np.int64)
     tlencount = 0
     num_processed = 0
+    bias5 = np.zeros(NUM_6MERS, np.int64)
+    bias_total = 0
+    bt = bias_tables_from_host(index) if opt.bias else None
 
     pos_filter: Optional[FldPositionFilter] = None
     if opt.fld_mean > 0 and not opt.single_overhang:
@@ -195,8 +202,9 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         batch is reduced to a per-key histogram on device (compact mode);
         otherwise per-read hashes are produced.
         """
-        if (not want_fld and pos_filter is None and strand_filter is None
-                and b1.Lp == b2.Lp):
+        want_bias = opt.bias and bias_total < _BIAS_GOAL
+        if (not want_fld and not want_bias and pos_filter is None
+                and strand_filter is None and b1.Lp == b2.Lp):
             r1, r2, ckflat = pseudoalign_pair_compact_packed(
                 didx, b1.packed, b1.nmask, b1.lens,
                 b2.packed, b2.nmask, b2.lens, k=k, L=b1.Lp,
@@ -206,10 +214,11 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         r2 = _dispatch_side(didx, b2, k)
         h = pair_key_hash(r1, r2)
         tl = pair_fragment_lengths(r1, r2, k=k) if want_fld else None
-        return ("full", b1, b2, r1, r2, h, tl)
+        hx = bias_hexamers(bt, r1, r2.has_hits, k=k) if want_bias else None
+        return ("full", b1, b2, r1, r2, h, tl, hx)
 
     def process_pair(ctx):
-        nonlocal num_processed, tlencount
+        nonlocal num_processed, tlencount, bias_total
         if ctx[0] == "compact":
             _, b1, b2, r1, r2, ckflat = ctx
             uniq_h, occ, first_idx, flags, n_uniq = unflatten_ck_host(
@@ -228,8 +237,8 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 return
             # histogram overflowed or a read's row list overflowed:
             # recover via the per-read path
-            ctx = ("full", b1, b2, r1, r2, pair_key_hash(r1, r2), None)
-        _, b1, b2, r1, r2, h, tl = ctx
+            ctx = ("full", b1, b2, r1, r2, pair_key_hash(r1, r2), None, None)
+        _, b1, b2, r1, r2, h, tl, hx = ctx
         s1, s2 = _SideArrays(r1), _SideArrays(r2)
         R = int(r1.rows.shape[1])
         read_uidx, uniq_sets = resolver.resolve_batch_hashed(
@@ -260,6 +269,11 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             )
         read_ec, read_card = resolver.count_batch(final_idx, final_sets)
         num_processed += b1.n
+        if hx is not None and bias_total < _BIAS_GOAL:
+            hx_h = np.asarray(hx)
+            m = (read_ec >= 0) & (hx_h >= 0)
+            np.add.at(bias5, hx_h[m], 1)
+            bias_total += int(m.sum())
         if tl is not None and tlencount < _FLEN_GOAL:
             tl_h = np.asarray(tl)
             ok = (
@@ -274,16 +288,24 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             tlencount += take.shape[0]
 
     def dispatch_single(b1: PackedBatch):
-        if pos_filter is None and strand_filter is None and not opt.do_union:
+        import jax.numpy as jnp
+
+        want_bias = opt.bias and bias_total < _BIAS_GOAL
+        if (pos_filter is None and strand_filter is None
+                and not opt.do_union and not want_bias):
             r1, ckflat = pseudoalign_single_compact_packed(
                 didx, b1.packed, b1.nmask, b1.lens, k=k, L=b1.Lp
             )
             return ("compact", b1, r1, ckflat)
         r1 = _dispatch_side(didx, b1, k)
-        return ("full", b1, r1, single_key_hash(r1))
+        hx = (
+            bias_hexamers(bt, r1, jnp.ones(b1.n, bool), k=k)
+            if want_bias else None
+        )
+        return ("full", b1, r1, single_key_hash(r1), hx)
 
     def process_single(ctx):
-        nonlocal num_processed
+        nonlocal num_processed, bias_total
         if ctx[0] == "compact":
             _, b1, r1, ckflat = ctx
             uniq_h, occ, first_idx, flags, n_uniq = unflatten_ck_host(
@@ -299,8 +321,8 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 )
                 num_processed += b1.n
                 return
-            ctx = ("full", b1, r1, single_key_hash(r1))
-        _, b1, r1, h = ctx
+            ctx = ("full", b1, r1, single_key_hash(r1), None)
+        _, b1, r1, h, hx = ctx
         s1 = _SideArrays(r1)
         R = int(r1.rows.shape[1])
         read_uidx, uniq_sets = resolver.resolve_batch_hashed(
@@ -321,8 +343,13 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             final_idx, final_sets = strand_filter.apply_pair(
                 final_idx, final_sets, s1.has_hits, s1.f_block, s1.f_strand,
             )
-        resolver.count_batch(final_idx, final_sets)
+        read_ec, _ = resolver.count_batch(final_idx, final_sets)
         num_processed += b1.n
+        if hx is not None and bias_total < _BIAS_GOAL:
+            hx_h = np.asarray(hx)
+            m = (read_ec >= 0) & (hx_h >= 0)
+            np.add.at(bias5, hx_h[m], 1)
+            bias_total += int(m.sum())
 
     # double-buffered loop: batch i+1 uploads/computes (async) while batch i's
     # results are resolved on the host -- hides device-link latency
@@ -376,7 +403,22 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
 
     counts = resolver.counts_array()
     problem = build_em_problem(resolver.ec_sets, index.num_trans)
-    em = run_em(problem, counts, eff_lens, n_iter=10000, min_rounds=50)
+    bias_update = None
+    if opt.bias:
+        hxcache = TranscriptHexamers(index)
+
+        def bias_update(alpha, cur_eff):
+            return update_eff_lens(
+                fl_means, bias5, hxcache, index.target_lens,
+                alpha, cur_eff, opt.strand,
+            )
+
+    em = run_em(
+        problem, counts, eff_lens, n_iter=10000, min_rounds=50,
+        bias_update=bias_update,
+    )
+    if em.eff_lens is not None and opt.bias:
+        eff_lens = em.eff_lens
     tpm = counts_to_tpm(em.alpha, eff_lens)
 
     num_pseudoaligned = int(counts.sum())
@@ -433,8 +475,14 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                     lengths=result.target_lens,
                     eff_lens=eff_lens,
                     fld=fld,
-                    bias_observed=np.ones(4096, np.int32),
-                    bias_normalized=np.ones(4096, np.float64),
+                    bias_observed=(
+                        bias5.astype(np.int32) if opt.bias
+                        else np.ones(4096, np.int32)
+                    ),
+                    bias_normalized=(
+                        em.post_bias if opt.bias and em.post_bias is not None
+                        else np.ones(4096, np.float64)
+                    ),
                     num_bootstrap=opt.bootstrap,
                     num_processed=num_processed,
                     kallisto_version=KALLISTO_COMPAT_VERSION,
