@@ -112,6 +112,72 @@ class TpuIndex:
         return self.ec_tx[self.ec_ptr[row] : self.ec_ptr[row + 1]]
 
 
+def _kmer_string(canon: int, k: int) -> str:
+    return "".join("ACGT"[(int(canon) >> (2 * (k - 1 - j))) & 3] for j in range(k))
+
+
+def _dlist_collect(
+    dlist_paths: Sequence[str], keys: np.ndarray, k: int, overhang: int = 1
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Collect D-list k-mers (reference: KmerIndex::DListFlankingKmers,
+    src/KmerIndex.cpp:682-1003).
+
+    Named sequences contribute *flanking* k-mers: the unmapped k-mers
+    immediately bordering each maximal graph-covered stretch (up to
+    `overhang` on each side, with the reference's exact lb>=1 / ub+k<len
+    guards).  Unnamed ("special") records contribute every k-mer.
+    Returns (flank_canon, special_canon) as sorted unique uint64 arrays.
+    Divergence from the reference: k-mers containing 1-3 non-ACGT bases
+    are dropped here (the reference keeps them with bifrost's 2-bit
+    coercion); such k-mers cannot match any N-free read k-mer anyway.
+    """
+    from ..io.fastx import read_fasta
+
+    flank: List[np.ndarray] = []
+    special: List[np.ndarray] = []
+    for path in dlist_paths:
+        for header, seq in read_fasta(path):
+            name = header.split()[0] if header.split() else ""
+            s = seq.upper()
+            if len(s) < k:
+                continue
+            codes = BASE_CODE[np.frombuffer(s.encode(), dtype=np.uint8)]
+            km, valid = pack_kmers(codes, k)
+            canon, _ = canonicalize(km, k)
+            if name == "":
+                special.append(canon[valid])
+                continue
+            idx = np.searchsorted(keys, canon)
+            idx_c = np.minimum(idx, max(keys.shape[0] - 1, 0))
+            mapped = valid & (
+                keys[idx_c] == canon if keys.size else np.zeros_like(valid)
+            )
+            n = mapped.shape[0]
+            # maximal mapped runs [a, b)
+            d = np.diff(np.concatenate([[0], mapped.view(np.int8), [0]]))
+            starts = np.flatnonzero(d == 1)
+            ends = np.flatnonzero(d == -1)
+            take = []
+            for a, b in zip(starts, ends):
+                lb = a - 1
+                for i in range(min(lb, overhang)):
+                    if valid[lb - i]:
+                        take.append(canon[lb - i])
+                if b > lb and b + k < len(s):
+                    for i in range(min(len(s) - b, overhang)):
+                        if b + i < n and valid[b + i]:
+                            take.append(canon[b + i])
+            if take:
+                flank.append(np.array(take, np.uint64))
+    fl = (
+        np.unique(np.concatenate(flank)) if flank else np.empty(0, np.uint64)
+    )
+    sp = (
+        np.unique(np.concatenate(special)) if special else np.empty(0, np.uint64)
+    )
+    return fl, sp
+
+
 def _collect_canonical_kmers(seqs: Sequence[str], k: int) -> np.ndarray:
     parts = []
     for s in seqs:
@@ -558,15 +624,51 @@ def build_index(
 ) -> TpuIndex:
     if k % 2 == 0 or k < 3 or k > 31:
         raise ValueError("k must be odd and in [3, 31]")
-    if dlist_paths:
-        raise NotImplementedError("D-list support lands in a later milestone")
 
     san = sanitize_transcripts(fasta_paths, make_unique=make_unique)
     keys = _collect_canonical_kmers(san.seqs, k)
+
+    # -- D-list (reference: KmerIndex::DListFlankingKmers,
+    #    src/KmerIndex.cpp:682-1003): flanking k-mers of masked sequences
+    #    become k-length pseudo-targets past the on-list boundary; one
+    #    "dummy" k-mer joins the graph so D-list hits resolve to a
+    #    sentinel EC that vetoes the read by empty intersection.
+    dl_all = np.empty(0, np.uint64)
+    dummy_canon = None
+    if dlist_paths:
+        flank, special = _dlist_collect(dlist_paths, keys, k)
+        in_graph_fl = np.isin(flank, keys)
+        dl_all = np.unique(np.concatenate([flank[~in_graph_fl], special]))
+        not_in_graph = dl_all[~np.isin(dl_all, keys)]
+        if not_in_graph.size:
+            dummy_canon = np.uint64(not_in_graph[0])
+            keys = np.unique(np.concatenate([keys, not_in_graph[:1]]))
+        elif dl_all.size:
+            dummy_canon = np.uint64(dl_all[0])  # special k-mer already in graph
+
     kmer_uid, kmer_pos, kmer_fw, unitig_nkmers, chains = _build_unitigs(keys, k)
     useq_off, useq = _unitig_sequences(keys, chains, k)
 
-    runs = _transcript_runs(san.seqs, k, keys, kmer_uid, kmer_pos, kmer_fw)
+    walk_seqs = list(san.seqs)
+    trid_remap = np.arange(len(san.seqs), dtype=np.int64)
+    num_real = len(san.seqs)
+    dl_names: List[str] = []
+    if dl_all.size:
+        dl_names = [f"d_list.{j}" for j in range(dl_all.shape[0])]
+        # pseudo-targets whose k-mer is in the graph participate in EC
+        # construction (the reference appends them to the tmp FASTA)
+        extra_ids = []
+        for j, c in enumerate(dl_all):
+            idx = np.searchsorted(keys, np.uint64(c))
+            if idx < keys.shape[0] and keys[idx] == np.uint64(c):
+                walk_seqs.append(_kmer_string(int(c), k))
+                extra_ids.append(num_real + j)
+        trid_remap = np.concatenate(
+            [trid_remap, np.array(extra_ids, np.int64)]
+        )
+
+    runs = _transcript_runs(walk_seqs, k, keys, kmer_uid, kmer_pos, kmer_fw)
+    runs = (runs[0], trid_remap[runs[1]], *runs[2:])
     (
         block_uid, block_start, block_end, block_ec,
         ec_ptr, ec_tx, bp_ptr, bp_tx, bp_pos, bp_rstart, bp_rstop, bp_strand,
@@ -587,10 +689,42 @@ def build_index(
         bidx = np.searchsorted(bstarts, pos, side="right") - 1
         kmer_block[ki] = (lo + bidx).astype(np.int32)
 
+    if dl_all.size and dummy_canon is not None:
+        di = int(np.searchsorted(keys, dummy_canon))
+        d_uid = kmer_uid[di]
+        d_pos = kmer_pos[di]
+        d_fw = kmer_fw[di]
+        d_block = kmer_block[di]
+        # special k-mers living on real unitigs still veto: point their
+        # table entries at the dummy/sentinel block (reference: the final
+        # match() D-list scan appends a dummy hit for them regardless of
+        # graph membership, src/KmerIndex.cpp:1930-1940)
+        for c in dl_all:
+            idx = int(np.searchsorted(keys, np.uint64(c)))
+            if idx < keys.shape[0] and keys[idx] == np.uint64(c):
+                kmer_uid[idx] = d_uid
+                kmer_pos[idx] = d_pos
+                kmer_fw[idx] = d_fw
+                kmer_block[idx] = d_block
+        # remaining D-list k-mers (absent from the graph) enter the lookup
+        # table pointing at the dummy block (reference: match() probes the
+        # d_list set and pushes {um_dummy, pos})
+        absent = dl_all[~np.isin(dl_all, keys)]
+        if absent.size:
+            ins = np.searchsorted(keys, absent)
+            keys = np.insert(keys, ins, absent)
+            kmer_uid = np.insert(kmer_uid, ins, d_uid)
+            kmer_pos = np.insert(kmer_pos, ins, d_pos)
+            kmer_fw = np.insert(kmer_fw, ins, d_fw)
+            kmer_block = np.insert(kmer_block, ins, d_block)
+
     return TpuIndex(
         k=k,
-        target_names=san.names,
-        target_lens=np.array(san.lens, np.uint32),
+        target_names=san.names + dl_names,
+        target_lens=np.concatenate(
+            [np.array(san.lens, np.uint32),
+             np.full(len(dl_names), k, np.uint32)]
+        ),
         num_onlist=len(san.names),
         kmer_keys=keys,
         kmer_uid=kmer_uid,
@@ -621,4 +755,5 @@ def build_index(
             ]
             if san.seqs else np.empty(0, np.uint8)
         ),
+        dlist_keys=dl_all,
     )

@@ -32,7 +32,8 @@ class TranscriptHexamers:
     def __init__(self, index):
         off = index.target_seq_off
         seq = index.target_seq.astype(np.int64)
-        T = index.num_trans
+        # only real targets carry sequences (D-list pseudo-targets do not)
+        T = off.shape[0] - 1
         seqlens = (off[1:] - off[:-1]).astype(np.int64)
         n_hex = np.maximum(seqlens - 5, 0)
         self.seqlens = seqlens
@@ -90,6 +91,12 @@ def update_eff_lens(
     Returns (biaslens [T], dbias5 [4096] = expected hexamer distribution).
     """
     strand_specific = strand in ("fr", "rf")
+    T_seq = hx.seqlens.shape[0]
+    full_eff, full_alpha = eff_lens, alpha
+    target_lens = target_lens[:T_seq]
+    alpha = alpha[:T_seq]
+    eff_lens = eff_lens[:T_seq]
+    means = means[:T_seq]
     active = (target_lens.astype(np.int64) >= means) & (alpha >= MIN_ALPHA)
     contrib = np.where(
         active,
@@ -124,4 +131,6 @@ def update_eff_lens(
     efflen = np.where(active, efflen * scale, 0.0)
 
     biaslens = np.where(efflen > means, efflen, eff_lens)
+    if full_eff.shape[0] > T_seq:  # D-list pseudo-targets keep their lens
+        biaslens = np.concatenate([biaslens, full_eff[T_seq:]])
     return biaslens, dbias5

@@ -453,16 +453,21 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     result.bootstraps = bootstraps
 
     if opt.output_dir:
+        # off-list (D-list) pseudo-targets are excluded from abundance
+        # outputs (reference: only onlist targets are reported)
+        nl = index.num_onlist
         os.makedirs(opt.output_dir, exist_ok=True)
         writers.write_abundance_tsv(
             os.path.join(opt.output_dir, "abundance.tsv"),
-            result.target_names, result.target_lens, eff_lens, em.alpha, tpm,
+            result.target_names[:nl], result.target_lens[:nl],
+            eff_lens[:nl], em.alpha[:nl], tpm[:nl],
         )
         if bootstraps is not None and opt.plaintext:
             for b in range(bootstraps.shape[0]):
                 writers.write_bootstrap_tsv(
-                    opt.output_dir, b, result.target_names, result.target_lens,
-                    eff_lens, bootstraps[b], counts_to_tpm(bootstraps[b], eff_lens),
+                    opt.output_dir, b, result.target_names[:nl],
+                    result.target_lens[:nl], eff_lens[:nl], bootstraps[b][:nl],
+                    counts_to_tpm(bootstraps[b], eff_lens)[:nl],
                 )
         if not opt.plaintext:
             from ..io.h5 import HAVE_H5PY, write_abundance_h5
@@ -470,10 +475,10 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             if HAVE_H5PY:
                 write_abundance_h5(
                     os.path.join(opt.output_dir, "abundance.h5"),
-                    est_counts=em.alpha,
-                    target_names=result.target_names,
-                    lengths=result.target_lens,
-                    eff_lens=eff_lens,
+                    est_counts=em.alpha[:nl],
+                    target_names=result.target_names[:nl],
+                    lengths=result.target_lens[:nl],
+                    eff_lens=eff_lens[:nl],
                     fld=fld,
                     bias_observed=(
                         bias5.astype(np.int32) if opt.bias
@@ -489,7 +494,9 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                     index_version=REFERENCE_INDEX_VERSION,
                     start_time=start_time,
                     call=opt.call,
-                    bootstraps=bootstraps,
+                    bootstraps=(
+                        bootstraps[:, :nl] if bootstraps is not None else None
+                    ),
                 )
         writers.write_run_info(
             os.path.join(opt.output_dir, "run_info.json"),
