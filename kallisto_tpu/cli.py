@@ -54,6 +54,7 @@ def _cmd_index(args):
         make_unique=args.make_unique,
         max_ec_size=args.max_ec_size,
         dlist_paths=[args.d_list] if args.d_list else None,
+        aa=args.aa,
     )
     save_index(index, args.index)
     print(
@@ -100,6 +101,14 @@ def _cmd_quant(args):
 def _cmd_bus(args):
     from .common import Options
     from .sc.bus import run_bus
+    from .sc.technologies import TECHNOLOGY_LIST
+
+    if args.list:
+        print("List of supported single-cell technologies\n\nshort name\n%s"
+              % "\n".join(TECHNOLOGY_LIST))
+        return
+    if not args.technology:
+        sys.exit("Error: need to specify technology to use")
 
     strand = None
     if args.fr_stranded:
@@ -114,6 +123,8 @@ def _cmd_bus(args):
         strand=strand,
         unstranded=args.unstranded,
         single_end=args.single_end,
+        bus_paired=args.bus_paired,
+        aa=args.aa,
         call=" ".join(sys.argv),
     )
     res = run_bus(opt)
@@ -179,6 +190,11 @@ def main(argv=None):
     p.add_argument("-i", "--index", required=True)
     p.add_argument("-k", "--kmer-size", type=int, default=31)
     p.add_argument("--make-unique", action="store_true")
+    p.add_argument("--aa", action="store_true")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-T", "--tmp", default="tmp")
+    p.add_argument("-m", "--min-size", type=int, default=-1)
+    p.add_argument("--distinguish", action="store_true")
     p.add_argument("-d", "--d-list", default=None)
     p.add_argument("-e", "--max-ec-size", type=int, default=-1)
     p.add_argument("fasta", nargs="+")
@@ -209,12 +225,17 @@ def main(argv=None):
     p = sub.add_parser("bus", help="generate BUS files for single-cell data")
     p.add_argument("-i", "--index", required=True)
     p.add_argument("-o", "--output-dir", required=True)
-    p.add_argument("-x", "--technology", required=True)
+    p.add_argument("-x", "--technology", default="")
+    p.add_argument("-l", "--list", action="store_true")
+    p.add_argument("--aa", action="store_true")
+    p.add_argument("-n", "--num", action="store_true")
+    p.add_argument("-N", "--numReads", type=int, default=0, dest="num_reads")
     p.add_argument("--fr-stranded", action="store_true")
     p.add_argument("--rf-stranded", action="store_true")
     p.add_argument("--unstranded", action="store_true")
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("--single", action="store_true", dest="single_end")
+    p.add_argument("--paired", action="store_true", dest="bus_paired")
     p.add_argument("reads", nargs="+")
     p.set_defaults(fn=_cmd_bus)
 

@@ -71,6 +71,7 @@ class Options:
     dfk_onlist: bool = False
     max_ec_size: int = -1
     technology: str = ""            # -x for bus mode
+    bus_paired: bool = False        # bus --paired
     unstranded: bool = False
     genomebam: bool = False
     pseudobam: bool = False

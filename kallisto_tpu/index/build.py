@@ -86,6 +86,7 @@ class TpuIndex:
     # D-list (distinguishing flanking k-mers); empty when unused
     dlist_keys: np.ndarray = field(default_factory=lambda: np.empty(0, np.uint64))
 
+    aa: bool = False                 # built from amino acids (--aa, CFC space)
     format_version: int = INDEX_FORMAT_VERSION
 
     @property
@@ -407,9 +408,9 @@ def _transcript_runs(
         if len(s) < k:
             continue
         codes = BASE_CODE[np.frombuffer(s.encode(), dtype=np.uint8)]
-        km, _ = pack_kmers(codes, k)
+        km, valid = pack_kmers(codes, k)
         canon, is_fw = canonicalize(km, k)
-        idx = np.searchsorted(keys, canon)
+        idx = np.minimum(np.searchsorted(keys, canon), keys.shape[0] - 1)
         uid = kmer_uid[idx]
         upos = kmer_pos[idx]
         # walking forward in the unitig iff the transcript k-mer orientation
@@ -423,11 +424,21 @@ def _transcript_runs(
                 (uid[1:] != uid[:-1])
                 | (strand[1:] != strand[:-1])
                 | (upos[1:].astype(np.int64) != upos[:-1].astype(np.int64) + stepv[:-1])
+                # N-containing k-mers (possible in --aa CFC space) break runs
+                | ~valid[1:]
+                | ~valid[:-1]
             )
         run_first = np.flatnonzero(brk)
         run_last = np.empty_like(run_first)
         run_last[:-1] = run_first[1:] - 1
         run_last[-1] = n - 1
+        # invalid (N-containing) k-mers form their own single runs (every
+        # boundary around them breaks); drop those runs entirely
+        keep = valid[run_first]
+        run_first = run_first[keep]
+        run_last = run_last[keep]
+        if run_first.size == 0:
+            continue
         p0 = upos[run_first].astype(np.int64)
         p1 = upos[run_last].astype(np.int64)
         st = strand[run_first]
@@ -621,11 +632,12 @@ def build_index(
     make_unique: bool = False,
     max_ec_size: int = -1,
     dlist_paths: Optional[Sequence[str]] = None,
+    aa: bool = False,
 ) -> TpuIndex:
     if k % 2 == 0 or k < 3 or k > 31:
         raise ValueError("k must be odd and in [3, 31]")
 
-    san = sanitize_transcripts(fasta_paths, make_unique=make_unique)
+    san = sanitize_transcripts(fasta_paths, make_unique=make_unique, aa=aa)
     keys = _collect_canonical_kmers(san.seqs, k)
 
     # -- D-list (reference: KmerIndex::DListFlankingKmers,
@@ -756,4 +768,5 @@ def build_index(
             if san.seqs else np.empty(0, np.uint8)
         ),
         dlist_keys=dl_all,
+        aa=aa,
     )

@@ -30,6 +30,7 @@ def save_index(index: TpuIndex, path: str) -> None:
         "format_version": INDEX_FORMAT_VERSION,
         "k": index.k,
         "num_onlist": index.num_onlist,
+        "aa": index.aa,
         "target_names": index.target_names,
     }
     arrays = {f: getattr(index, f) for f in _ARRAY_FIELDS}
@@ -51,6 +52,7 @@ def load_index(path: str) -> TpuIndex:
         k=meta["k"],
         target_names=list(meta["target_names"]),
         num_onlist=meta["num_onlist"],
+        aa=meta.get("aa", False),
         format_version=meta["format_version"],
         **kwargs,
     )

@@ -35,8 +35,12 @@ class SanitizedTranscripts:
 
 
 def sanitize_transcripts(
-    fasta_paths: Sequence[str], make_unique: bool = False
+    fasta_paths: Sequence[str], make_unique: bool = False, aa: bool = False
 ) -> SanitizedTranscripts:
+    """With aa=True the FASTA holds amino-acid sequences: each is reverse-
+    translated to comma-free code (unknown AAs -> NNN) with NO nucleotide
+    sanitization (reference: the aa branch of BuildTranscripts,
+    src/KmerIndex.cpp:276-315, records length = 3x the AA length)."""
     out = SanitizedTranscripts()
     gen = MT19937(42)
     unique = set()
@@ -44,6 +48,26 @@ def sanitize_transcripts(
 
     for path in fasta_paths:
         for header, seq in read_fasta(path):
+            if aa:
+                from ..utils.cfc import aa_to_cfc
+
+                s = aa_to_cfc(seq)
+                name = header.split(" ", 1)[0]
+                if name in unique:
+                    if not make_unique:
+                        raise DuplicateNameError(
+                            f"repeated name in FASTA file {path}: {name} "
+                            "(run with --make-unique)"
+                        )
+                    i = 1
+                    while f"{name}_{i}" in unique:
+                        i += 1
+                    name = f"{name}_{i}"
+                unique.add(name)
+                out.names.append(name)
+                out.seqs.append(s)
+                out.lens.append(len(s))
+                continue
             s = seq.upper()
             # U->T and random fill must be applied in sequence order because
             # the MT19937 stream is shared across all replacements

@@ -28,11 +28,13 @@ INT32_MAX = np.int32(2**31 - 1)
 
 
 class EcResolver:
-    def __init__(self, index):
+    def __init__(self, index, mask_offlist: bool = True):
         self.ec_ptr = index.ec_ptr
         self.ec_tx = index.ec_tx
         self.num_onlist = index.num_onlist
-        self.has_offlist = index.num_onlist < index.num_trans + index.dlist_keys.shape[0]
+        # mask_offlist=False keeps raw sets (the --aa 6-frame combiner needs
+        # to see off-list members before masking, MinCollector.cpp:51-71)
+        self.has_offlist = mask_offlist and index.num_onlist < index.num_trans
         # dynamic EC map: key = sorted transcript-id int32 bytes -> ec id
         self.ecmapinv: Dict[bytes, int] = {}
         self.ec_sets: List[np.ndarray] = []

@@ -169,17 +169,124 @@ class BusResult:
     flens: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
 
 
+def _binary_to_string(val: int, length: int) -> str:
+    """reference: binaryToString (src/BUSData.cpp:38-49)."""
+    return "".join(
+        "ACGT"[(val >> (2 * (length - 1 - i))) & 3] for i in range(length)
+    )
+
+
+def _emit_records(busf, read_ec, sel, bc_bin, umi_bin, bc_flag, umi_flag):
+    """Write BUS records for mapped reads, in read order."""
+    mapped = np.flatnonzero(read_ec >= 0)
+    if not mapped.size:
+        return
+    recs = np.zeros(
+        mapped.size,
+        dtype=np.dtype(
+            [("barcode", "<u8"), ("UMI", "<u8"), ("ec", "<i4"),
+             ("count", "<u4"), ("flags", "<u4"), ("pad", "<u4")]
+        ),
+    )
+    gsel = sel[mapped]
+    recs["barcode"] = bc_bin[gsel]
+    recs["UMI"] = umi_bin[gsel]
+    recs["ec"] = read_ec[mapped]
+    recs["count"] = 1
+    recs["flags"] = bc_flag[gsel] | (umi_flag[gsel] << 8)
+    busf.write(recs.tobytes())
+
+
+def _process_aa_frames(seq1, didx, index, k, resolver, aa_resolver):
+    """6-frame comma-free-code pseudoalignment + best-frame selection
+    (reference: BUSProcessor aa frames, src/ProcessReads.cpp:1653-1694;
+    MinCollector::intersectKmersCFC, src/MinCollector.cpp:44-119).
+
+    Frames: forward +0/+1/+2, then reverse-complement +0/+1/+2.  A read
+    whose ANY frame intersects an off-list (D-list) target is discarded;
+    otherwise the frame with the smallest non-empty on-list EC wins (first
+    frame wins ties; ties are counted as cardinality clashes).
+    """
+    from ..utils.cfc import nt_to_cfc_codes, revcomp_codes
+
+    codes, lens = seq1.codes, seq1.lens
+    B = codes.shape[0]
+    rc = revcomp_codes(codes, lens)
+    num_onlist = index.num_onlist
+
+    frame_idx = []    # per frame: [B] index into that frame's uniq list
+    frame_sets = []   # per frame: list of (masked_set|None)
+    frame_off = []    # per frame: [B] bool off-list member present
+    frame_card = []   # per frame: [B] cardinality of masked set (0 = none)
+    for src in (codes, rc):
+        for fr in range(3):
+            fc, fl = nt_to_cfc_codes(src, lens, fr)
+            fb = ReadBatch(codes=fc, lens=fl)
+            r1 = _dispatch_side(didx, _read_batch_to_packed(fb, k), k)
+            h = np.asarray(single_key_hash(r1))
+            s1 = _SideArrays(r1)
+            uidx, usets = aa_resolver.resolve_batch_hashed(
+                h, _make_single_fetcher(r1, s1),
+                int(r1.rows.shape[1]), paired=False,
+            )
+            _apply_overflow_fallback(
+                aa_resolver, index, uidx, usets, False,
+                (s1, _read_batch_to_packed(fb, k)), None,
+            )
+            off = np.array(
+                [s is not None and bool((s >= num_onlist).any()) for s in usets]
+            )
+            masked = [
+                None if s is None or s[s < num_onlist].size == 0
+                else s[s < num_onlist]
+                for s in usets
+            ]
+            card = np.array(
+                [0 if m is None else m.shape[0] for m in masked], np.int64
+            )
+            frame_idx.append(uidx)
+            frame_sets.append(masked)
+            frame_off.append(off[uidx] if off.size else np.zeros(B, bool))
+            frame_card.append(card[uidx])
+
+    veto = np.zeros(B, bool)
+    for off in frame_off:
+        veto |= off
+    cards = np.stack(frame_card)                      # [6, B]
+    cards_inf = np.where(cards > 0, cards, np.iinfo(np.int64).max)
+    winner = np.argmin(cards_inf, axis=0)             # first frame wins ties
+    any_hit = (cards > 0).any(axis=0)
+    ok = any_hit & ~veto
+
+    # assemble (final_idx, final_sets) for count_batch
+    final_sets = []
+    offsets = []
+    for fs in frame_sets:
+        offsets.append(len(final_sets))
+        final_sets.extend(fs)
+    none_slot = len(final_sets)
+    final_sets.append(None)
+    final_idx = np.full(B, none_slot, np.int64)
+    for f in range(6):
+        m = ok & (winner == f)
+        final_idx[m] = offsets[f] + frame_idx[f][m]
+    return resolver.count_batch(final_idx, final_sets)
+
+
 def run_bus(opt: Options, index=None) -> BusResult:
     start_time = time.strftime("%a %b %d %H:%M:%S %Y")
     if index is None:
         index = load_index(opt.index_path)
-    bus: BusOptions = parse_technology(opt.technology, opt.single_end)
+    bus: BusOptions = parse_technology(
+        opt.technology, opt.single_end, paired=opt.bus_paired
+    )
     strand = opt.strand if opt.strand is not None else bus.strand
     if getattr(opt, "unstranded", False):
         strand = None
 
     didx = device_index_from_host(index)
     resolver = EcResolver(index)
+    aa_resolver = EcResolver(index, mask_offlist=False) if opt.aa else None
     k = index.k
     strand_filter = StrandFilter(index, strand) if strand in ("fr", "rf") else None
 
@@ -210,7 +317,7 @@ def run_bus(opt: Options, index=None) -> BusResult:
     max_bc = 32
     max_umi = 32
 
-    for group in groups:
+    for group_idx, group in enumerate(groups):
         streams = [single_batches(f, opt.batch_size) for f in group]
         for batches in zip(*streams):
             B = batches[0].n
@@ -220,7 +327,8 @@ def run_bus(opt: Options, index=None) -> BusResult:
             # UMI first (reads with bad UMI are skipped before the barcode
             # histogram is touched, reference: ProcessReads.cpp:1504-1544)
             if no_umi:
-                umi_bin = np.zeros(B, np.uint64)  # bulk-like: umi 'A' = 0
+                # no-UMI technologies (bulk/batch, SMARTSEQ2): UMI = u64(-1)
+                umi_bin = np.full(B, np.uint64(0xFFFFFFFFFFFFFFFF))
                 umi_flag = np.zeros(B, np.uint32)
                 umi_ok = np.ones(B, bool)
                 ulen = np.ones(B, np.int32)
@@ -231,7 +339,9 @@ def run_bus(opt: Options, index=None) -> BusResult:
             np.add.at(umi_len_hist, ulen[uok], 1)
 
             if no_bc:
-                bc_bin = np.zeros(B, np.uint64)
+                # fake barcode identifying the batch (file group)
+                # (reference: ProcessReads.cpp:1606-1610)
+                bc_bin = np.full(B, group_idx, np.uint64)
                 bc_flag = np.zeros(B, np.uint32)
                 bc_ok = np.ones(B, bool)
                 blen = np.full(B, 16, np.int32)  # BUSFORMAT_FAKE_BARCODE_LEN
@@ -250,6 +360,15 @@ def run_bus(opt: Options, index=None) -> BusResult:
                 ReadBatch(codes=b.codes[sel], lens=b.lens[sel]) for b in batches
             ]
             seq1 = _extract_seq(sub, [bus.seq[0]] if bus.paired else bus.seq)
+            if opt.aa:
+                read_ec, read_card = _process_aa_frames(
+                    seq1, didx, index, k, resolver, aa_resolver
+                )
+                num_processed += sel.size
+                _emit_records(
+                    busf, read_ec, sel, bc_bin, umi_bin, bc_flag, umi_flag
+                )
+                continue
             r1 = _dispatch_side(didx, _read_batch_to_packed(seq1, k), k)
             if bus.paired:
                 seq2 = _extract_seq(sub, [bus.seq[1]])
@@ -303,23 +422,7 @@ def run_bus(opt: Options, index=None) -> BusResult:
                 np.add.at(flens, tl[take], 1)
                 tlencount += take.shape[0]
 
-            # emit records for mapped reads, in read order
-            mapped = np.flatnonzero(read_ec >= 0)
-            if mapped.size:
-                recs = np.zeros(
-                    mapped.size,
-                    dtype=np.dtype(
-                        [("barcode", "<u8"), ("UMI", "<u8"), ("ec", "<i4"),
-                         ("count", "<u4"), ("flags", "<u4"), ("pad", "<u4")]
-                    ),
-                )
-                gsel = sel[mapped]
-                recs["barcode"] = bc_bin[gsel]
-                recs["UMI"] = umi_bin[gsel]
-                recs["ec"] = read_ec[mapped]
-                recs["count"] = 1
-                recs["flags"] = bc_flag[gsel] | (umi_flag[gsel] << 8)
-                busf.write(recs.tobytes())
+            _emit_records(busf, read_ec, sel, bc_bin, umi_bin, bc_flag, umi_flag)
 
     busf.close()
 
@@ -346,6 +449,17 @@ def run_bus(opt: Options, index=None) -> BusResult:
     num_unique = resolver.num_unique_reads()
 
     # outputs (reference: main.cpp:2509-2596)
+    if no_bc:
+        # batch/bulk mode: fake per-batch barcodes (main.cpp:2408-2420)
+        with open(os.path.join(opt.output_dir, "matrix.cells"), "w") as f:
+            for i in range(len(groups)):
+                f.write(f"batch{i}\n")
+        with open(
+            os.path.join(opt.output_dir, "matrix.sample.barcodes"), "w"
+        ) as f:
+            for i in range(len(groups)):
+                f.write(_binary_to_string(i, 16) + "\n")
+        save_index(index, os.path.join(opt.output_dir, "index.saved"))
     if bus.paired:
         with open(os.path.join(opt.output_dir, "flens.txt"), "w") as f:
             f.write(" ".join(str(int(x)) for x in flens) + "\n")

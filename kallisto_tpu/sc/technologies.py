@@ -91,7 +91,17 @@ TECHNOLOGIES = {
 }
 
 
-def parse_technology(tech: str, single_end: bool = False) -> BusOptions:
+TECHNOLOGY_LIST = [
+    "10XV1", "10XV2", "10XV3", "VISIUM", "Bulk", "BDWTA", "CELSEQ",
+    "CELSEQ2", "DROPSEQ", "INDROPSV1", "INDROPSV2", "INDROPSV3", "SCRBSEQ",
+    "SMARTSEQ2", "SMARTSEQ3", "SPLIT-SEQ", "STORM-SEQ", "SURECELL",
+    "VASA-SEQ",
+]
+
+
+def parse_technology(
+    tech: str, single_end: bool = False, paired: bool = False
+) -> BusOptions:
     """Resolve a technology name or a custom `-x` string.
 
     Custom format: `bc,start,stop[,...]:umi,start,stop:seq,start,stop[,...]`
@@ -112,6 +122,22 @@ def parse_technology(tech: str, single_end: bool = False) -> BusOptions:
     if name.endswith("%PAIRED"):
         paired_override = True
         name = name[: -len("%PAIRED")]
+
+    if name == "BULK":
+        # regular RNA-seq through the BUS machinery: whole read(s) are the
+        # sequence, no barcode/UMI; each input file (or pair) is a batch
+        # with a fake barcode (reference: main.cpp:1050-1220,
+        # ProcessReads.cpp:1606-1610)
+        if paired or paired_override:
+            return BusOptions(
+                nfiles=2, seq=[(0, 0, 0), (1, 0, 0)],
+                umi=[(-1, -1, -1)], bc=[(-1, -1, -1)], paired=True,
+                strand=strand_override,
+            )
+        return BusOptions(
+            nfiles=1, seq=[(0, 0, 0)], umi=[(-1, -1, -1)],
+            bc=[(-1, -1, -1)], paired=False, strand=strand_override,
+        )
 
     if name in TECHNOLOGIES:
         b = TECHNOLOGIES[name]
