@@ -124,11 +124,17 @@ def _cmd_bus(args):
         unstranded=args.unstranded,
         single_end=args.single_end,
         bus_paired=args.bus_paired,
+        bus_num=args.num,
+        max_num_reads=args.num_reads,
         aa=args.aa,
         call=" ".join(sys.argv),
     )
     res = run_bus(opt)
     if res.num_pseudoaligned == 0:
+        sys.exit(1)
+    if opt.max_num_reads and res.num_processed < opt.max_num_reads:
+        print(f"Note: Number of reads processed is less than --numReads: "
+              f"{opt.max_num_reads}, returning 1", file=sys.stderr)
         sys.exit(1)
 
 

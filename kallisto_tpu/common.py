@@ -72,6 +72,8 @@ class Options:
     max_ec_size: int = -1
     technology: str = ""            # -x for bus mode
     bus_paired: bool = False        # bus --paired
+    bus_num: bool = False           # bus -n: read number in BUS flags column
+    max_num_reads: int = 0          # bus -N: cap on reads processed
     unstranded: bool = False
     genomebam: bool = False
     pseudobam: bool = False

@@ -176,8 +176,11 @@ def _binary_to_string(val: int, length: int) -> str:
     )
 
 
-def _emit_records(busf, read_ec, sel, bc_bin, umi_bin, bc_flag, umi_flag):
-    """Write BUS records for mapped reads, in read order."""
+def _emit_records(busf, read_ec, sel, bc_bin, umi_bin, bc_flag, umi_flag,
+                  read_numbers=None):
+    """Write BUS records for mapped reads, in read order.  With -n the
+    flags column holds the global read number instead
+    (reference: ProcessReads.cpp:1747-1749)."""
     mapped = np.flatnonzero(read_ec >= 0)
     if not mapped.size:
         return
@@ -193,7 +196,10 @@ def _emit_records(busf, read_ec, sel, bc_bin, umi_bin, bc_flag, umi_flag):
     recs["UMI"] = umi_bin[gsel]
     recs["ec"] = read_ec[mapped]
     recs["count"] = 1
-    recs["flags"] = bc_flag[gsel] | (umi_flag[gsel] << 8)
+    if read_numbers is not None:
+        recs["flags"] = read_numbers[gsel]
+    else:
+        recs["flags"] = bc_flag[gsel] | (umi_flag[gsel] << 8)
     busf.write(recs.tobytes())
 
 
@@ -317,12 +323,29 @@ def run_bus(opt: Options, index=None) -> BusResult:
     max_bc = 32
     max_umi = 32
 
+    num_seen = 0
+    capped = False
     for group_idx, group in enumerate(groups):
+        if capped:
+            break
         streams = [single_batches(f, opt.batch_size) for f in group]
         for batches in zip(*streams):
             B = batches[0].n
             if any(b.n != B for b in batches):
                 raise ValueError("technology FASTQ files have different record counts")
+            if opt.max_num_reads and num_seen + B >= opt.max_num_reads:
+                # downsample the final batch to exactly -N reads
+                # (reference: ProcessReads.cpp:589-595)
+                B = opt.max_num_reads - num_seen
+                capped = True
+                if B <= 0:
+                    break
+                batches = tuple(
+                    ReadBatch(codes=b.codes[:B], lens=b.lens[:B])
+                    for b in batches
+                )
+            read_base = num_seen
+            num_seen += B
 
             # UMI first (reads with bad UMI are skipped before the barcode
             # histogram is touched, reference: ProcessReads.cpp:1504-1544)
@@ -364,10 +387,16 @@ def run_bus(opt: Options, index=None) -> BusResult:
                 read_ec, read_card = _process_aa_frames(
                     seq1, didx, index, k, resolver, aa_resolver
                 )
-                num_processed += sel.size
+                num_processed += B
                 _emit_records(
-                    busf, read_ec, sel, bc_bin, umi_bin, bc_flag, umi_flag
+                    busf, read_ec, sel, bc_bin, umi_bin, bc_flag, umi_flag,
+                    read_numbers=(
+                        read_base + np.arange(B, dtype=np.uint32)
+                        if opt.bus_num else None
+                    ),
                 )
+                if capped:
+                    break
                 continue
             r1 = _dispatch_side(didx, _read_batch_to_packed(seq1, k), k)
             if bus.paired:
@@ -411,7 +440,7 @@ def run_bus(opt: Options, index=None) -> BusResult:
                     )
 
             read_ec, read_card = resolver.count_batch(final_idx, final_sets)
-            num_processed += sel.size
+            num_processed += B
 
             if bus.paired and tlencount < 10000 and tl is not None:
                 okfl = (
@@ -422,7 +451,15 @@ def run_bus(opt: Options, index=None) -> BusResult:
                 np.add.at(flens, tl[take], 1)
                 tlencount += take.shape[0]
 
-            _emit_records(busf, read_ec, sel, bc_bin, umi_bin, bc_flag, umi_flag)
+            _emit_records(
+                busf, read_ec, sel, bc_bin, umi_bin, bc_flag, umi_flag,
+                read_numbers=(
+                    read_base + np.arange(B, dtype=np.uint32)
+                    if opt.bus_num else None
+                ),
+            )
+            if capped:
+                break
 
     busf.close()
 
