@@ -68,11 +68,17 @@ def _cmd_quant(args):
     from .common import Options
     from .quant.pipeline import run_quant
 
-    if args.single and (args.fragment_length <= 0 or args.sd <= 0):
+    if args.single and not args.long and (
+        args.fragment_length <= 0 or args.sd <= 0
+    ):
         sys.exit("Error: fragment length mean and sd must be supplied for "
                  "single-end reads using -l and -s")
-    if not args.single and len(args.reads) % 2 != 0:
+    if not args.single and not args.long and len(args.reads) % 2 != 0:
         sys.exit("Error: paired-end mode requires an even number of FASTQ files")
+    if args.long and not (0 < args.threshold < 1):
+        print("Threshold not in (0,1). Setting default threshold for "
+              "unmapped kmers to 0.8", file=sys.stderr)
+        args.threshold = 0.8
     if args.fr_stranded and args.rf_stranded:
         sys.exit("Error: cannot specify both --fr-stranded and --rf-stranded")
     strand = "fr" if args.fr_stranded else ("rf" if args.rf_stranded else None)
@@ -88,6 +94,9 @@ def _cmd_quant(args):
         plaintext=args.plaintext,
         write_index=args.write_index,
         single_overhang=args.single_overhang,
+        long_read=args.long,
+        platform=args.platform,
+        threshold=args.threshold,
         bias=args.bias,
         strand=strand,
         do_union=args.union,
@@ -221,6 +230,9 @@ def main(argv=None):
     p.add_argument("--rf-stranded", action="store_true")
     p.add_argument("--bias", action="store_true")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--long", action="store_true")
+    p.add_argument("-P", "--platform", default="")
+    p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--union", action="store_true")
     p.add_argument("--no-jump", action="store_true")
     p.add_argument("--priors", default=None)

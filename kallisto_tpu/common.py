@@ -63,6 +63,7 @@ class Options:
     no_jump: bool = False
     long_read: bool = False
     platform: str = ""
+    threshold: float = 0.8          # --threshold: unmapped-kmer novelty cutoff
     priors: str = ""
     write_index: bool = False
     make_unique: bool = False

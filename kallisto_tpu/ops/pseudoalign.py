@@ -545,6 +545,99 @@ def pseudoalign_single_compact_packed(
     return r1, _ck_flat(ck)
 
 
+class LongResult(NamedTuple):
+    """Per-read long-read pseudoalignment summary.
+
+    rows/n_rows/has_hits/overflow as SideResult (wider row budget);
+    unmapped = #valid k-mers with no index hit (the reference's
+    match_long empty_count, evaluated exhaustively -- --no-jump
+    semantics, src/KmerIndex.cpp:1945-2172); groups = the ordered
+    sequence of (unitig, EC-block-content) group EC rows the read's hits
+    traverse (what MinCollector::modeECs scans), -2 padded.
+    """
+
+    rows: jnp.ndarray       # [B, R] int32 sorted distinct non-empty EC rows
+    n_rows: jnp.ndarray     # [B]
+    has_hits: jnp.ndarray   # [B]
+    overflow: jnp.ndarray   # [B] row-list overflow
+    unmapped: jnp.ndarray   # [B] int32
+    groups: jnp.ndarray     # [B, G] int32 EC row per group (-1 = empty EC)
+    n_groups: jnp.ndarray   # [B] int32
+    g_overflow: jnp.ndarray  # [B] bool group-list overflow
+
+
+@partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_groups"))
+def pseudoalign_long_packed(
+    didx,
+    packed: jnp.ndarray,
+    nmask: jnp.ndarray,
+    lens: jnp.ndarray,
+    k: int,
+    L: int,
+    max_rows: int = 64,
+    max_groups: int = 128,
+) -> LongResult:
+    codes = unpack_codes_device(packed, nmask, L)
+    canon, is_fw, valid = rolling_canonical_kmers(codes, lens, k)
+    B, W = canon.shape
+    R = min(max_rows, W)
+    G = max_groups
+
+    idx, hit, ec_row = lookup_kmers(didx, canon, valid)
+    unmapped = (
+        jnp.sum(valid, axis=1) - jnp.sum(hit, axis=1)
+    ).astype(jnp.int32)
+
+    uid = jnp.where(hit, didx.kmer_uid[idx], -1)
+
+    # distinct non-empty EC rows (for the strict-intersection stage)
+    rows = jnp.where(hit & (ec_row >= 0), ec_row, INT32_MAX)
+    rows = jnp.sort(rows, axis=1)
+    isnew = jnp.concatenate(
+        [jnp.ones((B, 1), bool), rows[:, 1:] != rows[:, :-1]], axis=1
+    ) & (rows != INT32_MAX)
+    uniq = jnp.where(isnew, rows, INT32_MAX)
+    uniq = jnp.sort(uniq, axis=1)[:, :R]
+    n_rows = jnp.sum(isnew, axis=1).astype(jnp.int32)
+
+    # ordered (uid, ec-content) groups over the hit sequence
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    hp = jnp.where(hit, pos, -1)
+    cm = jax.lax.associative_scan(jnp.maximum, hp, axis=1)
+    prev_pos = jnp.concatenate(
+        [jnp.full((B, 1), -1, cm.dtype), cm[:, :-1]], axis=1
+    )
+    has_prev = prev_pos >= 0
+    pp = jnp.maximum(prev_pos, 0)
+    prev_uid = jnp.take_along_axis(uid, pp, axis=1)
+    prev_row = jnp.take_along_axis(ec_row, pp, axis=1)
+    boundary = hit & (
+        ~has_prev | (uid != prev_uid) | (ec_row != prev_row)
+    )
+    gid = jnp.cumsum(boundary.astype(jnp.int32), axis=1) - 1
+    n_groups = jnp.sum(boundary, axis=1).astype(jnp.int32)
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 0)
+    flat = jnp.where(
+        boundary & (gid < G), bidx * G + jnp.maximum(gid, 0), B * G
+    )
+    groups = (
+        jnp.full(B * G + 1, -2, jnp.int32)
+        .at[flat.reshape(-1)]
+        .set(ec_row.reshape(-1).astype(jnp.int32), mode="drop")[: B * G]
+        .reshape(B, G)
+    )
+    return LongResult(
+        rows=uniq,
+        n_rows=n_rows,
+        has_hits=jnp.any(hit, axis=1),
+        overflow=n_rows > R,
+        unmapped=unmapped,
+        groups=groups,
+        n_groups=n_groups,
+        g_overflow=n_groups > G,
+    )
+
+
 class BiasTables(NamedTuple):
     """Device tables for 5' hexamer extraction (bias correction)."""
 

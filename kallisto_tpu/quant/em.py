@@ -205,6 +205,7 @@ def run_em(
     n_iter: int = 10000,
     min_rounds: int = 50,
     bias_update=None,
+    singletons_after: bool = False,
 ) -> EmResult:
     """Run the EM to convergence (host/CPU device, float64).
 
@@ -213,6 +214,10 @@ def run_em(
     the reference's update_eff_lens hook (EMAlgorithm.h:113-116).  Weights
     need no separate recomputation: the reference's w = count/eff_len makes
     the count factor cancel, so only 1/eff_len enters the update.
+
+    singletons_after: the long-read (PacBio) EM variant keeps singleton-EC
+    counts out of the iterations and adds them to alpha once after the
+    loop (reference: EMAlgorithm.h:224-357).
     """
     T = problem.num_trans
     singleton_alpha = np.zeros(T, np.float64)
@@ -220,6 +225,10 @@ def run_em(
         # next_alpha[t] = counts[singleton ec of t] (assignment; each t has
         # at most one singleton EC) -- reference: EMAlgorithm.h:119-123
         singleton_alpha[problem.singleton_tx] = counts[problem.singleton_ec]
+    post_singletons = None
+    if singletons_after:
+        post_singletons = singleton_alpha
+        singleton_alpha = np.zeros(T, np.float64)
     multi_counts = counts[problem.multi_ec_ids].astype(np.float64)
     inv_eff = 1.0 / eff_lens.astype(np.float64)
 
@@ -259,6 +268,9 @@ def run_em(
                 )
             alpha, before, i = _finish_em_state(state)
             eff_lens = cur_eff
+    alpha = np.asarray(alpha)
+    if post_singletons is not None:
+        alpha = alpha + post_singletons
     return EmResult(
         alpha=np.asarray(alpha),
         alpha_before_zeroes=np.asarray(before),

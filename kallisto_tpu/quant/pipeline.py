@@ -180,7 +180,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     k = index.k
 
     paired = opt.paired
-    estimate_fld = paired and opt.fld_mean == 0.0
+    estimate_fld = paired and opt.fld_mean == 0.0 and not opt.long_read
     flens = np.zeros(MAX_FRAG_LEN, np.int64)
     tlencount = 0
     num_processed = 0
@@ -351,9 +351,59 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             np.add.at(bias5, hx_h[m], 1)
             bias_total += int(m.sum())
 
+    novel_path = (
+        os.path.join(opt.output_dir, "novel.fastq") if opt.output_dir else ""
+    )
     # double-buffered loop: batch i+1 uploads/computes (async) while batch i's
     # results are resolved on the host -- hides device-link latency
-    if paired:
+    if opt.long_read:
+        from ..ops.pseudoalign import pseudoalign_long_packed
+        from .longread import resolve_long_batch
+
+        unmasked = EcResolver(index, mask_offlist=False)
+        if novel_path:
+            os.makedirs(opt.output_dir, exist_ok=True)
+        novel_f = open(novel_path, "w") if novel_path else None
+        batch_iter = (
+            b for f in opt.files
+            for b in packed_single_batches(f, min(opt.batch_size, 16384), k)
+        )
+        for b1 in batch_iter:
+            lr = pseudoalign_long_packed(
+                didx, b1.packed, b1.nmask, b1.lens, k=k, L=b1.Lp
+            )
+            rows_h = np.asarray(lr.rows)
+            groups = np.asarray(lr.groups)
+            ngr = np.asarray(lr.n_groups)
+            unmapped = np.asarray(lr.unmapped)
+            # novel = too many unmapped k-mers
+            # (reference: ProcessReads.cpp:1051-1056)
+            novel = unmapped > opt.threshold * b1.lens
+            sets = resolve_long_batch(
+                rows_h, groups, ngr, unmasked, index.num_onlist
+            )
+            final_idx = np.arange(b1.n, dtype=np.int64)
+            final_sets = [
+                None if novel[r] else sets[r] for r in range(b1.n)
+            ]
+            resolver.count_batch(final_idx, final_sets)
+            num_processed += b1.n
+            if novel_f is not None:
+                for r in np.flatnonzero(novel | np.array(
+                    [sv is None for sv in sets]
+                )):
+                    name = (
+                        "novel_disjointIntersect" if sets[r] is None
+                        else "novel_tooManyEmptyKmers"
+                    )
+                    seqc = b1.row_codes(int(r))[: int(b1.lens[r])]
+                    seq = bytes(
+                        np.frombuffer(b"ACGTN", np.uint8)[seqc]
+                    ).decode()
+                    novel_f.write(f"@{name}\n{seq}\n")
+        if novel_f is not None:
+            novel_f.close()
+    elif paired:
         if len(opt.files) % 2 != 0:
             raise ValueError("paired-end mode requires an even number of files")
         file_pairs = [
@@ -375,7 +425,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             process_pair(pending)
     else:
         if opt.fld_mean <= 0 or opt.fld_sd <= 0:
-            raise ValueError("single-end mode requires -l and -s")
+            raise ValueError("single-end mode requires -l and -s")  # noqa: E501 (long reads bypass via the branch above)
         batch_iter = (
             b for f in opt.files for b in packed_single_batches(f, opt.batch_size, k)
         )
@@ -416,6 +466,9 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     em = run_em(
         problem, counts, eff_lens, n_iter=10000, min_rounds=50,
         bias_update=bias_update,
+        # PacBio-style long-read EM: singleton counts added after the loop
+        # (ONT uses the standard loop; reference: EMAlgorithm.h:111,224-357)
+        singletons_after=opt.long_read and opt.platform.upper() != "ONT",
     )
     if em.eff_lens is not None and opt.bias:
         eff_lens = em.eff_lens

@@ -1,0 +1,68 @@
+"""Long-read (--long) quantification vs the reference binary.
+
+The reference's match_long uses jump/skip sampling of k-mers
+(src/KmerIndex.cpp:1945-2172); this implementation evaluates every k-mer
+(--no-jump semantics).  On the 440-read PacBio-style fixture the two agree
+on 439/440 reads (the one divergence is a read with conflicting k-mer
+evidence that the reference's sampling happens to miss), so parity is
+asserted with a 1-read tolerance rather than byte equality.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from kallisto_tpu.common import Options
+from kallisto_tpu.quant.pipeline import run_quant
+
+
+@pytest.fixture(scope="module")
+def long_result(test_index, data_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("qlr"))
+    opt = Options(
+        files=[os.path.join(data_dir, "reads_lr.fastq.gz")],
+        output_dir=out,
+        single_end=True,
+        long_read=True,
+        platform="PacBio",
+        plaintext=True,
+    )
+    return run_quant(opt, index=test_index), out
+
+
+def _load_golden(golden_dir):
+    rows = {}
+    with open(os.path.join(golden_dir, "quant_long", "abundance.tsv")) as f:
+        next(f)
+        for line in f:
+            p = line.split("\t")
+            rows[p[0]] = (float(p[2]), float(p[3]))
+    return rows
+
+
+def test_long_read_counts_close_to_reference(long_result, golden_dir):
+    res, _ = long_result
+    golden = _load_golden(golden_dir)
+    # reference: 399 pseudoaligned; ours: 398 (one jump-sampling divergence)
+    assert abs(res.num_pseudoaligned - 399) <= 1
+    total_dev = 0.0
+    for name, eff, est in zip(res.target_names, res.eff_lens, res.est_counts):
+        geff, gest = golden[name]
+        assert eff == pytest.approx(geff)          # eff len = len + 1 exactly
+        total_dev += abs(est - gest)
+    assert total_dev <= 2.0 + 1e-6                 # one read's worth of mass
+
+
+def test_long_read_novel_fastq(long_result, golden_dir):
+    _, out = long_result
+    lines = open(os.path.join(out, "novel.fastq")).read().splitlines()
+    headers = [l for l in lines if l.startswith("@")]
+    # 40 synthetic novel reads (+ up to 2 borderline real reads)
+    assert 40 <= len(headers) <= 42
+    assert all(
+        h in ("@novel_disjointIntersect", "@novel_tooManyEmptyKmers")
+        for h in headers
+    )
+
+
