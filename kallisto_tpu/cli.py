@@ -82,6 +82,10 @@ def _cmd_quant(args):
     if args.fr_stranded and args.rf_stranded:
         sys.exit("Error: cannot specify both --fr-stranded and --rf-stranded")
     strand = "fr" if args.fr_stranded else ("rf" if args.rf_stranded else None)
+    if args.fusion:
+        # reference: ProcessReads.cpp:1075-1078 (dead code in 0.51.1)
+        sys.exit("Error: fusion detection is not implemented (the reference "
+                 "0.51.1 exits with 'TODO: Implement fusion' as well)")
     opt = Options(
         index_path=args.index,
         output_dir=args.output_dir,
@@ -101,6 +105,7 @@ def _cmd_quant(args):
         strand=strand,
         do_union=args.union,
         no_jump=args.no_jump,
+        min_range=args.min_range,
         priors=args.priors or "",
         call=" ".join(sys.argv),
     )
@@ -235,6 +240,8 @@ def main(argv=None):
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--union", action="store_true")
     p.add_argument("--no-jump", action="store_true")
+    p.add_argument("--fusion", action="store_true")
+    p.add_argument("-m", "--min-range", type=int, default=1)
     p.add_argument("--priors", default=None)
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("reads", nargs="+")
@@ -293,7 +300,12 @@ def main(argv=None):
     if not args.cmd:
         parser.print_help()
         return 1
-    args.fn(args)
+    try:
+        args.fn(args)
+    except (FileNotFoundError, IsADirectoryError) as e:
+        sys.exit(f"Error: file not found {e.filename}")
+    except ValueError as e:
+        sys.exit(f"Error: {e}")
     return 0
 
 

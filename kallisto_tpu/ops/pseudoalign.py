@@ -237,6 +237,9 @@ class SideResult(NamedTuple):
     f_upos: jnp.ndarray      # [B] int32 unitig k-mer position of first hit
     f_rpos: jnp.ndarray      # [B] int32 read position of first hit
     f_strand: jnp.ndarray    # [B] bool read maps forward along unitig
+    rng: jnp.ndarray         # [B] int32 last-hit pos - first-hit pos (the
+    #                          min_range support span minus k;
+    #                          reference: MinCollector.cpp:497-507)
 
 
 def pack_codes_host(codes: np.ndarray):
@@ -327,6 +330,11 @@ def _pseudoalign_core(
     f_upos = jnp.where(has_hits, didx.kmer_pos[kidx], -1)
     f_rpos = jnp.where(has_hits, first.astype(jnp.int32), -1)
 
+    pos = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1)
+    maxpos = jnp.max(jnp.where(hit, pos, -1), axis=1)
+    minpos = jnp.min(jnp.where(hit, pos, jnp.int32(2**30)), axis=1)
+    rng = jnp.where(has_hits, maxpos - minpos, -1).astype(jnp.int32)
+
     return SideResult(
         rows=uniq,
         n_rows=n_rows,
@@ -337,6 +345,7 @@ def _pseudoalign_core(
         f_upos=f_upos,
         f_rpos=f_rpos,
         f_strand=f_strand,
+        rng=rng,
     )
 
 

@@ -82,7 +82,7 @@ class _SideArrays:
 
     _FIELDS = (
         "rows", "n_rows", "has_hits", "overflow",
-        "f_uid", "f_block", "f_upos", "f_rpos", "f_strand",
+        "f_uid", "f_block", "f_upos", "f_rpos", "f_strand", "rng",
     )
 
     def __init__(self, res):
@@ -204,7 +204,8 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         """
         want_bias = opt.bias and bias_total < _BIAS_GOAL
         if (not want_fld and not want_bias and pos_filter is None
-                and strand_filter is None and b1.Lp == b2.Lp):
+                and strand_filter is None and opt.min_range <= 1
+                and b1.Lp == b2.Lp):
             r1, r2, ckflat = pseudoalign_pair_compact_packed(
                 didx, b1.packed, b1.nmask, b1.lens,
                 b2.packed, b2.nmask, b2.lens, k=k, L=b1.Lp,
@@ -250,6 +251,18 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             (s1, b1), (s2, b2),
         )
         final_idx, final_sets = read_uidx, uniq_sets
+        if opt.min_range > 1:
+            # a mate whose hit span is under min_range empties its EC set
+            # inside intersectECs, vetoing the fragment
+            # (reference: MinCollector.cpp:497-507 + non-strict pairing)
+            veto = (
+                (s1.has_hits & (s1.rng + k < opt.min_range))
+                | (s2.has_hits & (s2.rng + k < opt.min_range))
+            )
+            if veto.any():
+                final_idx = final_idx.copy()
+                final_sets = list(final_sets) + [None]
+                final_idx[veto] = len(final_sets) - 1
         if pos_filter is not None:
             # reference: filter only when at least one mate had no hits
             # (ProcessReads.cpp:1095); both-empty reads are unmapped anyway
@@ -292,7 +305,8 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
 
         want_bias = opt.bias and bias_total < _BIAS_GOAL
         if (pos_filter is None and strand_filter is None
-                and not opt.do_union and not want_bias):
+                and not opt.do_union and not want_bias
+                and opt.min_range <= 1):
             r1, ckflat = pseudoalign_single_compact_packed(
                 didx, b1.packed, b1.nmask, b1.lens, k=k, L=b1.Lp
             )
@@ -333,6 +347,12 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             resolver, index, read_uidx, uniq_sets, opt.do_union, (s1, b1), None
         )
         final_idx, final_sets = read_uidx, uniq_sets
+        if opt.min_range > 1:
+            veto = s1.has_hits & (s1.rng + k < opt.min_range)
+            if veto.any():
+                final_idx = final_idx.copy()
+                final_sets = list(final_sets) + [None]
+                final_idx[veto] = len(final_sets) - 1
         if pos_filter is not None:
             applies = np.ones(b1.n, bool)
             final_idx, final_sets = pos_filter.apply(
