@@ -106,6 +106,7 @@ def _cmd_quant(args):
         do_union=args.union,
         no_jump=args.no_jump,
         min_range=args.min_range,
+        pseudobam=args.pseudobam,
         priors=args.priors or "",
         call=" ".join(sys.argv),
     )
@@ -241,6 +242,7 @@ def main(argv=None):
     p.add_argument("--union", action="store_true")
     p.add_argument("--no-jump", action="store_true")
     p.add_argument("--fusion", action="store_true")
+    p.add_argument("--pseudobam", action="store_true")
     p.add_argument("-m", "--min-range", type=int, default=1)
     p.add_argument("--priors", default=None)
     p.add_argument("-t", "--threads", type=int, default=1)

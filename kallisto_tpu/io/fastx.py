@@ -162,8 +162,11 @@ def paired_batches(
         s2.close()
 
 
-def single_batches(path: str, batch_reads: int, keep_names: bool = False) -> Iterator[ReadBatch]:
-    s = FastqStream(path, keep_names=keep_names)
+def single_batches(
+    path: str, batch_reads: int, keep_names: bool = False,
+    keep_quals: bool = False,
+) -> Iterator[ReadBatch]:
+    s = FastqStream(path, keep_names=keep_names, keep_quals=keep_quals)
     try:
         while True:
             b = s.next_batch(batch_reads)
@@ -188,16 +191,25 @@ def _read_batch_to_packed(rb: ReadBatch, k: int, pad_to: int = 8):
             [codes, np.full((B, Lp - L), 4, np.uint8)], axis=1
         )
     packed, nmask, _ = pack_codes_host(codes)
-    return PackedBatch(packed, nmask, rb.lens, Lp, rb.names)
+    return PackedBatch(packed, nmask, rb.lens, Lp, rb.names, rb.quals)
 
 
 def packed_single_batches(
-    path: str, batch_reads: int, k: int, keep_names: bool = False
+    path: str, batch_reads: int, k: int, keep_names: bool = False,
+    keep_quals: bool = False,
 ):
     """Yield PackedBatch objects: native C++ reader when available
-    (decompress+parse+pack on a background thread), Python otherwise."""
+    (decompress+parse+pack on a background thread), Python otherwise.
+    keep_quals forces the Python reader (qualities are only needed for
+    BAM output)."""
     from .. import native
 
+    if keep_quals:
+        for rb in single_batches(
+            path, batch_reads, keep_names=keep_names, keep_quals=True
+        ):
+            yield _read_batch_to_packed(rb, k)
+        return
     if native.available():
         r = native.NativeFastqReader(
             path, batch_reads, pad_to=8, min_len=k, keep_names=keep_names
@@ -215,10 +227,11 @@ def packed_single_batches(
             yield _read_batch_to_packed(rb, k)
 
 
-def packed_paired_batches(path1: str, path2: str, batch_reads: int, k: int):
+def packed_paired_batches(path1: str, path2: str, batch_reads: int, k: int,
+                          keep_names: bool = False, keep_quals: bool = False):
     """Yield aligned (PackedBatch, PackedBatch) pairs."""
-    s1 = packed_single_batches(path1, batch_reads, k)
-    s2 = packed_single_batches(path2, batch_reads, k)
+    s1 = packed_single_batches(path1, batch_reads, k, keep_names, keep_quals)
+    s2 = packed_single_batches(path2, batch_reads, k, keep_names, keep_quals)
     while True:
         b1 = next(s1, None)
         b2 = next(s2, None)

@@ -75,14 +75,16 @@ class PackedBatch:
     bits (little bit order); lens: [n] int32; Lp: padded read length.
     """
 
-    __slots__ = ("packed", "nmask", "lens", "Lp", "names")
+    __slots__ = ("packed", "nmask", "lens", "Lp", "names", "quals")
 
-    def __init__(self, packed, nmask, lens, Lp, names: Optional[List[bytes]] = None):
+    def __init__(self, packed, nmask, lens, Lp, names: Optional[List[bytes]] = None,
+                 quals: Optional[List[bytes]] = None):
         self.packed = packed
         self.nmask = nmask
         self.lens = lens
         self.Lp = int(Lp)
         self.names = names
+        self.quals = quals
 
     @property
     def n(self) -> int:

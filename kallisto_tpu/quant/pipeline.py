@@ -171,6 +171,32 @@ def _apply_overflow_fallback(
         uniq_sets.append(u)
 
 
+def _record_pbam(pbam, b1, s1, read_ec, b2=None, s2=None):
+    """Capture one batch's pseudoalignment info for --pseudobam replay."""
+    def side(b, s):
+        return (
+            [b.row_codes(i)[: int(b.lens[i])] for i in range(b.n)],
+            list(b.quals),
+            {
+                "has_hits": s.has_hits.copy(),
+                "f_block": s.f_block.copy(),
+                "f_upos": s.f_upos.copy(),
+                "f_rpos": s.f_rpos.copy(),
+                "f_strand": s.f_strand.copy(),
+            },
+        )
+
+    seq1, qual1, f1 = side(b1, s1)
+    kw = dict(
+        names=list(b1.names), seq1=seq1, qual1=qual1, f1=f1,
+        read_ec=read_ec.copy(),
+    )
+    if b2 is not None:
+        seq2, qual2, f2 = side(b2, s2)
+        kw.update(seq2=seq2, qual2=qual2, f2=f2)
+    pbam.add(**kw)
+
+
 def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     start_time = time.strftime("%a %b %d %H:%M:%S %Y")
     if index is None:
@@ -187,6 +213,11 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     bias5 = np.zeros(NUM_6MERS, np.int64)
     bias_total = 0
     bt = bias_tables_from_host(index) if opt.bias else None
+    pbam = None
+    if opt.pseudobam:
+        from ..io.pseudobam import PseudoAlnRecorder
+
+        pbam = PseudoAlnRecorder(paired=paired)
 
     pos_filter: Optional[FldPositionFilter] = None
     if opt.fld_mean > 0 and not opt.single_overhang:
@@ -205,7 +236,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         want_bias = opt.bias and bias_total < _BIAS_GOAL
         if (not want_fld and not want_bias and pos_filter is None
                 and strand_filter is None and opt.min_range <= 1
-                and b1.Lp == b2.Lp):
+                and pbam is None and b1.Lp == b2.Lp):
             r1, r2, ckflat = pseudoalign_pair_compact_packed(
                 didx, b1.packed, b1.nmask, b1.lens,
                 b2.packed, b2.nmask, b2.lens, k=k, L=b1.Lp,
@@ -282,6 +313,8 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             )
         read_ec, read_card = resolver.count_batch(final_idx, final_sets)
         num_processed += b1.n
+        if pbam is not None:
+            _record_pbam(pbam, b1, s1, read_ec, b2, s2)
         if hx is not None and bias_total < _BIAS_GOAL:
             hx_h = np.asarray(hx)
             m = (read_ec >= 0) & (hx_h >= 0)
@@ -306,7 +339,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         want_bias = opt.bias and bias_total < _BIAS_GOAL
         if (pos_filter is None and strand_filter is None
                 and not opt.do_union and not want_bias
-                and opt.min_range <= 1):
+                and opt.min_range <= 1 and pbam is None):
             r1, ckflat = pseudoalign_single_compact_packed(
                 didx, b1.packed, b1.nmask, b1.lens, k=k, L=b1.Lp
             )
@@ -365,6 +398,8 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             )
         read_ec, _ = resolver.count_batch(final_idx, final_sets)
         num_processed += b1.n
+        if pbam is not None:
+            _record_pbam(pbam, b1, s1, read_ec)
         if hx is not None and bias_total < _BIAS_GOAL:
             hx_h = np.asarray(hx)
             m = (read_ec >= 0) & (hx_h >= 0)
@@ -432,7 +467,10 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         batch_iter = (
             b
             for f1, f2 in file_pairs
-            for b in packed_paired_batches(f1, f2, opt.batch_size, k)
+            for b in packed_paired_batches(
+                f1, f2, opt.batch_size, k,
+                keep_names=opt.pseudobam, keep_quals=opt.pseudobam,
+            )
         )
         pending = None
         for b1, b2 in batch_iter:
@@ -447,7 +485,11 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         if opt.fld_mean <= 0 or opt.fld_sd <= 0:
             raise ValueError("single-end mode requires -l and -s")  # noqa: E501 (long reads bypass via the branch above)
         batch_iter = (
-            b for f in opt.files for b in packed_single_batches(f, opt.batch_size, k)
+            b for f in opt.files
+            for b in packed_single_batches(
+                f, opt.batch_size, k,
+                keep_names=opt.pseudobam, keep_quals=opt.pseudobam,
+            )
         )
         pending = None
         for b1 in batch_iter:
@@ -587,6 +629,14 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         if opt.write_index:
             writers.write_counts(
                 os.path.join(opt.output_dir, "counts.txt"), counts
+            )
+        if pbam is not None:
+            from ..io.pseudobam import write_pseudobam_trans
+
+            write_pseudobam_trans(
+                os.path.join(opt.output_dir, "pseudoalignments.bam"),
+                index, pbam, resolver.ec_sets, em.alpha, eff_lens, counts,
+                KALLISTO_COMPAT_VERSION,
             )
 
     return result
