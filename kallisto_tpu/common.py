@@ -91,6 +91,7 @@ class Options:
     # device execution controls (no reference equivalent)
     batch_size: int = 1 << 18       # reads per device batch
     device_parity: bool = True      # f64 EM accumulation
+    n_devices: int = 0              # 0 = derive from threads (mesh DP)
 
     call: str = "kallisto-tpu"      # command line echoed into run_info.json
 

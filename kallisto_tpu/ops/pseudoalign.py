@@ -509,6 +509,50 @@ def unflatten_ck_host(arr: np.ndarray):
     )
 
 
+def pair_compact_core(
+    didx: DeviceIndex,
+    p1: jnp.ndarray,
+    n1: jnp.ndarray,
+    l1: jnp.ndarray,
+    p2: jnp.ndarray,
+    n2: jnp.ndarray,
+    l2: jnp.ndarray,
+    k: int,
+    L: int,
+    max_rows: int = 16,
+    max_keys: int = 16384,
+):
+    """Fused steady-state pair step (traceable, not jitted): both mates
+    pseudoaligned in one [2B] batch, reduced to a per-key histogram.
+    Shared by the single-device jit wrapper below and the per-shard body
+    of the multi-chip `shard_map` path (parallel/mesh.py)."""
+    B = p1.shape[0]
+    codes = jnp.concatenate(
+        [unpack_codes_device(p1, n1, L), unpack_codes_device(p2, n2, L)]
+    )
+    lens = jnp.concatenate([l1, l2])
+    r = _pseudoalign_core(didx, codes, lens, k, max_rows)
+    r1 = SideResult(*(a[:B] for a in r))
+    r2 = SideResult(*(a[B:] for a in r))
+    ck = compact_pair_keys(r1, r2, max_keys)
+    return r1, r2, _ck_flat(ck)
+
+
+def single_compact_core(
+    didx: DeviceIndex,
+    p1: jnp.ndarray,
+    n1: jnp.ndarray,
+    l1: jnp.ndarray,
+    k: int,
+    L: int,
+    max_rows: int = 16,
+    max_keys: int = 16384,
+):
+    r1 = _pseudoalign_core(didx, unpack_codes_device(p1, n1, L), l1, k, max_rows)
+    ck = compact_single_keys(r1, max_keys)
+    return r1, _ck_flat(ck)
+
+
 @partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
 def pseudoalign_pair_compact_packed(
     didx: DeviceIndex,
@@ -523,19 +567,9 @@ def pseudoalign_pair_compact_packed(
     max_rows: int = 16,
     max_keys: int = 16384,
 ):
-    """Fused steady-state pair step: both mates pseudoaligned in one
-    [2B] batch, reduced to a per-key histogram, one kernel launch and
-    one flat output."""
-    B = p1.shape[0]
-    codes = jnp.concatenate(
-        [unpack_codes_device(p1, n1, L), unpack_codes_device(p2, n2, L)]
+    return pair_compact_core(
+        didx, p1, n1, l1, p2, n2, l2, k, L, max_rows, max_keys
     )
-    lens = jnp.concatenate([l1, l2])
-    r = _pseudoalign_core(didx, codes, lens, k, max_rows)
-    r1 = SideResult(*(a[:B] for a in r))
-    r2 = SideResult(*(a[B:] for a in r))
-    ck = compact_pair_keys(r1, r2, max_keys)
-    return r1, r2, _ck_flat(ck)
 
 
 @partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
@@ -549,9 +583,7 @@ def pseudoalign_single_compact_packed(
     max_rows: int = 16,
     max_keys: int = 16384,
 ):
-    r1 = _pseudoalign_core(didx, unpack_codes_device(p1, n1, L), l1, k, max_rows)
-    ck = compact_single_keys(r1, max_keys)
-    return r1, _ck_flat(ck)
+    return single_compact_core(didx, p1, n1, l1, k, L, max_rows, max_keys)
 
 
 class LongResult(NamedTuple):

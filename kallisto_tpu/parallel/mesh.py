@@ -1,19 +1,30 @@
 """Multi-chip data parallelism over a `reads` mesh axis.
 
 The reference's only parallelism is single-node pthreads over read batches
-merged under a writer lock (reference: src/ProcessReads.cpp:307-646).  The
-TPU-native equivalent: the index is replicated across devices, read batches
-are sharded over a 1-D `reads` mesh axis, each device pseudoaligns its shard
-and reduces it to an EC-row histogram, and histograms merge with psum over
-ICI.  Everything after the histogram (EM, outputs) is tiny and replicated.
+merged under a writer lock (reference: src/ProcessReads.cpp:307-646,
+MasterProcessor::update merge at 424-646).  The TPU-native equivalent:
 
-The host-side dynamic-EC path (quant/ecmap.py) consumes per-read row sets;
-under the mesh the per-device SideResults are simply gathered back per host
-shard -- the deterministic first-seen ordering is preserved because shards
-are concatenated in mesh order.
+- the index is **replicated** across devices (NamedSharding P()),
+- each read batch is padded to a multiple of the mesh size and **sharded
+  contiguously** over a 1-D `reads` axis (shard s = reads
+  [s*B/n, (s+1)*B/n) -- read order is preserved across shards),
+- each device pseudoaligns its shard and reduces it to a fixed-width
+  per-key histogram *locally* (shard_map; no collective needed -- the
+  histogram is tiny and device-order concatenation is the deterministic
+  merge),
+- the host walks the shard histograms **in mesh order**, which reproduces
+  the exact global first-seen key order of a single-device run, so dynamic
+  EC ids (and therefore counts, matrix.ec, est_counts) are bit-identical
+  to the 1-device pipeline.
+
+Multi-host: call `jax.distributed.initialize()` before building the
+MeshRunner; `make_mesh` then spans all processes' devices and each host
+feeds its own contiguous file shard (the EC merge stays deterministic as
+long as shard order == read order).  Everything after the EC histogram
+(EM, outputs) is tiny and replicated.
 """
 
-from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -21,65 +32,132 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.pseudoalign import (
-    DeviceIndex,
-    lookup_kmers,
-    pseudoalign_batch,
-    rolling_canonical_kmers,
+    pair_compact_core,
+    single_compact_core,
 )
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "reads") -> Mesh:
+def make_mesh(n_devices: Optional[int] = None, axis: str = "reads") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
 
 
-def _ec_row_histogram(didx: DeviceIndex, codes, lens, k: int, num_rows: int):
-    """Per-shard histogram of EC-row hits (device-side reduction)."""
-    canon, _, valid = rolling_canonical_kmers(codes, lens, k)
-    idx, hit, ec = lookup_kmers(didx, canon, valid)
-    row = jnp.where(hit & (ec >= 0), ec, num_rows)
-    return jnp.zeros(num_rows + 1, jnp.int32).at[row.reshape(-1)].add(
-        hit.reshape(-1).astype(jnp.int32)
-    )
-
-
-def distributed_quant_step(mesh: Mesh, didx: DeviceIndex, k: int, num_rows: int):
-    """Build the jitted data-parallel step: shard reads, psum histograms,
-    run one (replicated) EM-style normalization on the merged histogram.
-
-    Returns a function (codes [B, L], lens [B]) -> (histogram [num_rows+1],
-    normalized [num_rows+1]); B must divide by the mesh size.
-    """
-    axis = mesh.axis_names[0]
-
-    @jax.jit
-    def step(codes, lens):
-        def shard_fn(didx_s, codes_s, lens_s):
-            h = _ec_row_histogram(didx_s, codes_s, lens_s, k, num_rows)
-            return jax.lax.psum(h, axis)
-
-        hist = jax.shard_map(
-            shard_fn,
-            mesh=mesh,
-            in_specs=(P(), P(axis), P(axis)),
-            out_specs=P(),
-        )(didx, codes, lens)
-        total = jnp.maximum(hist.sum(), 1)
-        return hist, hist.astype(jnp.float32) / total.astype(jnp.float32)
-
-    return step
-
-
-def shard_batch(mesh: Mesh, codes: np.ndarray, lens: np.ndarray):
-    """Place a host batch sharded over the reads axis."""
-    axis = mesh.axis_names[0]
-    s_codes = NamedSharding(mesh, P(axis))
-    s_lens = NamedSharding(mesh, P(axis))
-    return jax.device_put(codes, s_codes), jax.device_put(lens, s_lens)
-
-
-def replicate_index(mesh: Mesh, didx: DeviceIndex) -> DeviceIndex:
+def replicate_index(mesh: Mesh, didx):
     rep = NamedSharding(mesh, P())
     return jax.tree.map(lambda a: jax.device_put(a, rep), didx)
+
+
+class MeshRunner:
+    """Data-parallel pseudoalignment runner used by quant/pipeline.py.
+
+    Owns the mesh, the input shardings, and the jitted shard_map'ped
+    compact-step functions (cached per static (k, L, widths) signature).
+    """
+
+    def __init__(self, n_devices: Optional[int] = None, axis: str = "reads"):
+        self.mesh = make_mesh(n_devices, axis)
+        self.axis = axis
+        self.ndev = int(np.prod(self.mesh.devices.shape))
+        self.shard = NamedSharding(self.mesh, P(axis))
+        self.rep = NamedSharding(self.mesh, P())
+        self._pair_fns = {}
+        self._single_fns = {}
+
+    # -- placement helpers -------------------------------------------------
+
+    def replicate(self, didx):
+        return jax.tree.map(lambda a: jax.device_put(a, self.rep), didx)
+
+    def put_batch(self, b):
+        """Pad a PackedBatch's arrays to a multiple of the mesh size and
+        place them sharded over the reads axis.
+
+        Pad reads have lens=0 (no valid k-mer window), so they pseudoalign
+        to the no-hit key, which resolves to None and is never counted.
+        Returns (packed, nmask, lens) device arrays; the caller remembers
+        the real read count b.n.
+        """
+        B = b.n
+        Bp = ((B + self.ndev - 1) // self.ndev) * self.ndev
+        packed, nmask, lens = b.packed, b.nmask, b.lens
+        if Bp != B:
+            packed = np.concatenate(
+                [packed, np.zeros((Bp - B, packed.shape[1]), np.uint8)]
+            )
+            nmask = np.concatenate(
+                [nmask, np.zeros((Bp - B, nmask.shape[1]), np.uint8)]
+            )
+            lens = np.concatenate([lens, np.zeros(Bp - B, np.int32)])
+        return (
+            jax.device_put(packed, self.shard),
+            jax.device_put(nmask, self.shard),
+            jax.device_put(lens, self.shard),
+        )
+
+    # -- sharded compact steps ----------------------------------------------
+
+    def _get_pair_fn(self, k: int, L: int, max_rows: int, max_keys: int):
+        key = (k, L, max_rows, max_keys)
+        f = self._pair_fns.get(key)
+        if f is None:
+            ax = self.axis
+
+            def shard_fn(didx, p1, n1, l1, p2, n2, l2):
+                r1, r2, ckflat = pair_compact_core(
+                    didx, p1, n1, l1, p2, n2, l2, k, L, max_rows, max_keys
+                )
+                # leading length-1 axis stacks per-shard histograms into
+                # [ndev, K+1, 5] under out_specs P(axis)
+                return r1, r2, ckflat[None]
+
+            f = jax.jit(
+                jax.shard_map(
+                    shard_fn,
+                    mesh=self.mesh,
+                    in_specs=(P(),) + (P(ax),) * 6,
+                    out_specs=(P(ax), P(ax), P(ax)),
+                )
+            )
+            self._pair_fns[key] = f
+        return f
+
+    def _get_single_fn(self, k: int, L: int, max_rows: int, max_keys: int):
+        key = (k, L, max_rows, max_keys)
+        f = self._single_fns.get(key)
+        if f is None:
+            ax = self.axis
+
+            def shard_fn(didx, p1, n1, l1):
+                r1, ckflat = single_compact_core(
+                    didx, p1, n1, l1, k, L, max_rows, max_keys
+                )
+                return r1, ckflat[None]
+
+            f = jax.jit(
+                jax.shard_map(
+                    shard_fn,
+                    mesh=self.mesh,
+                    in_specs=(P(),) + (P(ax),) * 3,
+                    out_specs=(P(ax), P(ax)),
+                )
+            )
+            self._single_fns[key] = f
+        return f
+
+    def pair_compact(self, didx, b1, b2, k: int, max_rows=16, max_keys=16384):
+        """Sharded fused pair step.  Returns (r1, r2, ckstack, shard_B):
+        SideResults over the padded batch and the [ndev, K+1, 5] per-shard
+        key histograms; shard_B = reads per shard (for first_idx offsets)."""
+        p1, n1, l1 = self.put_batch(b1)
+        p2, n2, l2 = self.put_batch(b2)
+        f = self._get_pair_fn(k, b1.Lp, max_rows, max_keys)
+        r1, r2, ckstack = f(didx, p1, n1, l1, p2, n2, l2)
+        return r1, r2, ckstack, int(l1.shape[0]) // self.ndev
+
+    def single_compact(self, didx, b1, k: int, max_rows=16, max_keys=16384):
+        p1, n1, l1 = self.put_batch(b1)
+        f = self._get_single_fn(k, b1.Lp, max_rows, max_keys)
+        r1, ckstack = f(didx, p1, n1, l1)
+        return r1, ckstack, int(l1.shape[0]) // self.ndev

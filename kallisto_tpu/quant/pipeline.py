@@ -78,22 +78,28 @@ def _dispatch_side(didx: DeviceIndex, batch: PackedBatch, k: int):
 class _SideArrays:
     """Lazy host views of one mate's device results (device->host traffic
     is the end-to-end bottleneck under tunneled TPUs, so each array is
-    transferred at most once and only if actually consulted)."""
+    transferred at most once and only if actually consulted).
+
+    n, when given, slices off mesh-padding reads (parallel/mesh.py pads
+    batches to a multiple of the mesh size)."""
 
     _FIELDS = (
         "rows", "n_rows", "has_hits", "overflow",
         "f_uid", "f_block", "f_upos", "f_rpos", "f_strand", "rng",
     )
 
-    def __init__(self, res):
+    def __init__(self, res, n: Optional[int] = None):
         self._res = res
+        self._n = n
         self._cache = {}
 
     def __getattr__(self, name):
         if name in self._FIELDS:
             cache = self.__dict__["_cache"]
             if name not in cache:
-                cache[name] = np.asarray(getattr(self.__dict__["_res"], name))
+                a = np.asarray(getattr(self.__dict__["_res"], name))
+                n = self.__dict__["_n"]
+                cache[name] = a if n is None else a[:n]
             return cache[name]
         raise AttributeError(name)
 
@@ -197,6 +203,21 @@ def _record_pbam(pbam, b1, s1, read_ec, b2=None, s2=None):
     pbam.add(**kw)
 
 
+def _resolve_n_devices(opt: Options) -> int:
+    """How many devices to spread read batches over.
+
+    The reference's `-t` is pthread data parallelism over read batches
+    (src/ProcessReads.cpp:307-320); the TPU-native analog is data
+    parallelism over the device mesh, so `-t N` requests up to N chips.
+    """
+    n = opt.n_devices
+    if n == 0 and opt.threads > 1:
+        import jax
+
+        n = min(opt.threads, len(jax.devices()))
+    return max(n, 1)
+
+
 def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     start_time = time.strftime("%a %b %d %H:%M:%S %Y")
     if index is None:
@@ -204,6 +225,13 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     didx = device_index_from_host(index)
     resolver = EcResolver(index)
     k = index.k
+
+    mesh: Optional["MeshRunner"] = None
+    if _resolve_n_devices(opt) > 1:
+        from ..parallel.mesh import MeshRunner
+
+        mesh = MeshRunner(_resolve_n_devices(opt))
+        didx = mesh.replicate(didx)
 
     paired = opt.paired
     estimate_fld = paired and opt.fld_mean == 0.0 and not opt.long_read
@@ -231,19 +259,34 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
 
         Once flens collection is done and no per-read filter is active, the
         batch is reduced to a per-key histogram on device (compact mode);
-        otherwise per-read hashes are produced.
+        otherwise per-read hashes are produced.  Under a multi-device mesh
+        the batch is sharded contiguously over the reads axis and each
+        device compacts its shard locally (parallel/mesh.py).
         """
         want_bias = opt.bias and bias_total < _BIAS_GOAL
         if (not want_fld and not want_bias and pos_filter is None
                 and strand_filter is None and opt.min_range <= 1
                 and pbam is None and b1.Lp == b2.Lp):
+            if mesh is not None:
+                r1, r2, ckstack, shard_B = mesh.pair_compact(
+                    didx, b1, b2, k
+                )
+                return ("cmesh", b1, b2, r1, r2, ckstack, shard_B)
             r1, r2, ckflat = pseudoalign_pair_compact_packed(
                 didx, b1.packed, b1.nmask, b1.lens,
                 b2.packed, b2.nmask, b2.lens, k=k, L=b1.Lp,
             )
             return ("compact", b1, b2, r1, r2, ckflat)
-        r1 = _dispatch_side(didx, b1, k)
-        r2 = _dispatch_side(didx, b2, k)
+        if mesh is not None:
+            r1 = pseudoalign_batch_packed(
+                didx, *mesh.put_batch(b1), k=k, L=b1.Lp
+            )
+            r2 = pseudoalign_batch_packed(
+                didx, *mesh.put_batch(b2), k=k, L=b2.Lp
+            )
+        else:
+            r1 = _dispatch_side(didx, b1, k)
+            r2 = _dispatch_side(didx, b2, k)
         h = pair_key_hash(r1, r2)
         tl = pair_fragment_lengths(r1, r2, k=k) if want_fld else None
         hx = bias_hexamers(bt, r1, r2.has_hits, k=k) if want_bias else None
@@ -251,6 +294,33 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
 
     def process_pair(ctx):
         nonlocal num_processed, tlencount, bias_total
+        if ctx[0] == "cmesh":
+            # deterministic multi-device merge: walk shard histograms in
+            # mesh order == read order (the TPU-native replacement for
+            # MasterProcessor::update's writer_lock merge,
+            # reference: src/ProcessReads.cpp:424-646)
+            _, b1, b2, r1, r2, ckstack, shard_B = ctx
+            ck = np.asarray(ckstack)
+            shards = [unflatten_ck_host(ck[s]) for s in range(ck.shape[0])]
+            ok = all(
+                n_uniq <= occ.shape[0] and not (flags[occ > 0] & 12).any()
+                for _, occ, _, flags, n_uniq in shards
+            )
+            if ok:
+                s1, s2 = _SideArrays(r1), _SideArrays(r2)
+                fetch = _make_pair_fetcher(r1, r2, s1, s2)
+                R = int(r1.rows.shape[1])
+                for s, (uniq_h, occ, first_idx, flags, n_uniq) in enumerate(
+                    shards
+                ):
+                    resolver.process_compact(
+                        uniq_h, occ,
+                        first_idx.astype(np.int64) + s * shard_B,
+                        fetch, R, paired=True, do_union=opt.do_union,
+                    )
+                num_processed += b1.n
+                return
+            ctx = ("full", b1, b2, r1, r2, pair_key_hash(r1, r2), None, None)
         if ctx[0] == "compact":
             _, b1, b2, r1, r2, ckflat = ctx
             uniq_h, occ, first_idx, flags, n_uniq = unflatten_ck_host(
@@ -271,11 +341,11 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             # recover via the per-read path
             ctx = ("full", b1, b2, r1, r2, pair_key_hash(r1, r2), None, None)
         _, b1, b2, r1, r2, h, tl, hx = ctx
-        s1, s2 = _SideArrays(r1), _SideArrays(r2)
+        s1, s2 = _SideArrays(r1, b1.n), _SideArrays(r2, b1.n)
         R = int(r1.rows.shape[1])
         read_uidx, uniq_sets = resolver.resolve_batch_hashed(
-            np.asarray(h), _make_pair_fetcher(r1, r2, s1, s2), R, paired=True,
-            do_union=opt.do_union,
+            np.asarray(h)[: b1.n], _make_pair_fetcher(r1, r2, s1, s2), R,
+            paired=True, do_union=opt.do_union,
         )
         _apply_overflow_fallback(
             resolver, index, read_uidx, uniq_sets, opt.do_union,
@@ -316,12 +386,12 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         if pbam is not None:
             _record_pbam(pbam, b1, s1, read_ec, b2, s2)
         if hx is not None and bias_total < _BIAS_GOAL:
-            hx_h = np.asarray(hx)
+            hx_h = np.asarray(hx)[: b1.n]
             m = (read_ec >= 0) & (hx_h >= 0)
             np.add.at(bias5, hx_h[m], 1)
             bias_total += int(m.sum())
         if tl is not None and tlencount < _FLEN_GOAL:
-            tl_h = np.asarray(tl)
+            tl_h = np.asarray(tl)[: b1.n]
             ok = (
                 (tl_h > 0)
                 & (tl_h < MAX_FRAG_LEN)
@@ -340,19 +410,50 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         if (pos_filter is None and strand_filter is None
                 and not opt.do_union and not want_bias
                 and opt.min_range <= 1 and pbam is None):
+            if mesh is not None:
+                r1, ckstack, shard_B = mesh.single_compact(didx, b1, k)
+                return ("cmesh", b1, r1, ckstack, shard_B)
             r1, ckflat = pseudoalign_single_compact_packed(
                 didx, b1.packed, b1.nmask, b1.lens, k=k, L=b1.Lp
             )
             return ("compact", b1, r1, ckflat)
-        r1 = _dispatch_side(didx, b1, k)
+        if mesh is not None:
+            r1 = pseudoalign_batch_packed(
+                didx, *mesh.put_batch(b1), k=k, L=b1.Lp
+            )
+        else:
+            r1 = _dispatch_side(didx, b1, k)
         hx = (
-            bias_hexamers(bt, r1, jnp.ones(b1.n, bool), k=k)
+            bias_hexamers(bt, r1, jnp.ones(r1.has_hits.shape[0], bool), k=k)
             if want_bias else None
         )
         return ("full", b1, r1, single_key_hash(r1), hx)
 
     def process_single(ctx):
         nonlocal num_processed, bias_total
+        if ctx[0] == "cmesh":
+            _, b1, r1, ckstack, shard_B = ctx
+            ck = np.asarray(ckstack)
+            shards = [unflatten_ck_host(ck[s]) for s in range(ck.shape[0])]
+            ok = all(
+                n_uniq <= occ.shape[0] and not (flags[occ > 0] & 12).any()
+                for _, occ, _, flags, n_uniq in shards
+            )
+            if ok:
+                s1 = _SideArrays(r1)
+                fetch = _make_single_fetcher(r1, s1)
+                R = int(r1.rows.shape[1])
+                for s, (uniq_h, occ, first_idx, flags, n_uniq) in enumerate(
+                    shards
+                ):
+                    resolver.process_compact(
+                        uniq_h, occ,
+                        first_idx.astype(np.int64) + s * shard_B,
+                        fetch, R, paired=False, do_union=opt.do_union,
+                    )
+                num_processed += b1.n
+                return
+            ctx = ("full", b1, r1, single_key_hash(r1), None)
         if ctx[0] == "compact":
             _, b1, r1, ckflat = ctx
             uniq_h, occ, first_idx, flags, n_uniq = unflatten_ck_host(
@@ -370,11 +471,11 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 return
             ctx = ("full", b1, r1, single_key_hash(r1), None)
         _, b1, r1, h, hx = ctx
-        s1 = _SideArrays(r1)
+        s1 = _SideArrays(r1, b1.n)
         R = int(r1.rows.shape[1])
         read_uidx, uniq_sets = resolver.resolve_batch_hashed(
-            np.asarray(h), _make_single_fetcher(r1, s1), R, paired=False,
-            do_union=opt.do_union,
+            np.asarray(h)[: b1.n], _make_single_fetcher(r1, s1), R,
+            paired=False, do_union=opt.do_union,
         )
         _apply_overflow_fallback(
             resolver, index, read_uidx, uniq_sets, opt.do_union, (s1, b1), None
@@ -401,7 +502,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         if pbam is not None:
             _record_pbam(pbam, b1, s1, read_ec)
         if hx is not None and bias_total < _BIAS_GOAL:
-            hx_h = np.asarray(hx)
+            hx_h = np.asarray(hx)[: b1.n]
             m = (read_ec >= 0) & (hx_h >= 0)
             np.add.at(bias5, hx_h[m], 1)
             bias_total += int(m.sum())

@@ -8,12 +8,19 @@ to run on real TPU hardware instead.
 import os
 
 if not os.environ.get("KALLISTO_TPU_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # force CPU: the environment may pre-register a TPU backend at
+    # interpreter start (sitecustomize) and override JAX_PLATFORMS, but
+    # correctness tests need the deterministic CPU backend and the
+    # sharding tests need 8 virtual devices
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
