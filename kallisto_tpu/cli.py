@@ -108,6 +108,7 @@ def _cmd_quant(args):
         min_range=args.min_range,
         pseudobam=args.pseudobam,
         priors=args.priors or "",
+        threads=args.threads,
         call=" ".join(sys.argv),
     )
     run_quant(opt)
@@ -168,6 +169,8 @@ def _cmd_quant_tcc(args):
         genemap=args.genemap,
         bootstrap=args.bootstrap_samples,
         seed=args.seed,
+        priors=args.priors or "",
+        threads=args.threads,
         call=" ".join(sys.argv),
     )
     run_quant_tcc(opt)
@@ -244,7 +247,7 @@ def main(argv=None):
     p.add_argument("--fusion", action="store_true")
     p.add_argument("--pseudobam", action="store_true")
     p.add_argument("-m", "--min-range", type=int, default=1)
-    p.add_argument("--priors", default=None)
+    p.add_argument("-p", "--priors", default=None)
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("reads", nargs="+")
     p.set_defaults(fn=_cmd_quant)
@@ -276,6 +279,7 @@ def main(argv=None):
     p.add_argument("-g", "--genemap", default="")
     p.add_argument("-b", "--bootstrap-samples", type=int, default=0)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("-p", "--priors", default=None)
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("tcc")
     p.set_defaults(fn=_cmd_quant_tcc)

@@ -99,13 +99,17 @@ def _em_loop(
     n_iter: int,
     min_rounds: int,
     state=None,
+    alpha_init=None,   # [T] f64 priors (EMAlgorithm::set_priors) or None
 ):
     """Run the EM while-loop from `state` (or a fresh start) until
     convergence or the global iteration counter reaches n_iter.  The state
     carries the global iteration number so callers can interleave host-side
     effective-length recomputation (bias) between segments while keeping
     the reference's exact convergence/final-round bookkeeping."""
-    alpha0 = jnp.full(num_trans, 1.0 / num_trans, singleton_alpha.dtype)
+    if alpha_init is None:
+        alpha0 = jnp.full(num_trans, 1.0 / num_trans, singleton_alpha.dtype)
+    else:
+        alpha0 = alpha_init
 
     def body(state):
         alpha, i, final_round, done, before = state
@@ -150,10 +154,10 @@ def _finish_em_state(state):
 
 
 def _em_full(singleton_alpha, flat_tx, flat_ec, multi_counts, inv_eff,
-             num_trans, num_multi, n_iter, min_rounds):
+             num_trans, num_multi, n_iter, min_rounds, alpha_init=None):
     return _finish_em_state(_em_loop(
         singleton_alpha, flat_tx, flat_ec, multi_counts, inv_eff,
-        num_trans, num_multi, n_iter, min_rounds,
+        num_trans, num_multi, n_iter, min_rounds, alpha_init=alpha_init,
     ))
 
 
@@ -162,6 +166,33 @@ _run_em_jax = partial(jax.jit, static_argnames=(
 
 _run_em_segment_jax = partial(jax.jit, static_argnames=(
     "num_trans", "num_multi", "n_iter", "min_rounds"))(_em_loop)
+
+
+def read_priors(path: str, num_trans: int) -> Optional[np.ndarray]:
+    """Parse a priors file (one float per line, same order as targets).
+
+    If the values sum to more than 1 (+eps) they are raw counts: add a
+    pseudocount of 1 to every entry and normalize, so no prior is exactly
+    zero (reference: EMAlgorithm::read_priors, src/EMAlgorithm.h:52-81).
+    A length mismatch warns and falls back to uniform priors
+    (EMAlgorithm::set_priors, src/EMAlgorithm.h:83-93).
+    """
+    import sys
+
+    print(f"[   em] reading priors from file {path}", file=sys.stderr)
+    with open(path) as f:
+        priors = np.array(
+            [float(line) for line in f if line.strip() != ""], np.float64
+        )
+    s = priors.sum()
+    if s >= 1.0 + 1e-3:
+        priors = (priors + 1.0) / (s + priors.shape[0])
+    if priors.shape[0] != num_trans:
+        print("[   em] number of priors does not match number of "
+              "transcripts.", file=sys.stderr)
+        print("        defaulting to uniform priors.", file=sys.stderr)
+        return None
+    return priors
 
 
 @partial(
@@ -179,12 +210,14 @@ def _run_em_batch_jax(
     n_iter: int,
     min_rounds: int,
     batched_eff: bool = False,
+    alpha_init=None,    # [T] shared priors or None
 ):
     """vmapped EM over replicates/cells (shared EC structure)."""
     return jax.vmap(
         lambda sa, mc, ie: _em_full(
             sa, flat_tx, flat_ec, mc, ie,
             num_trans, num_multi, n_iter, min_rounds,
+            alpha_init=alpha_init,
         ),
         in_axes=(0, 0, 0 if batched_eff else None),
     )(singleton_alpha_b, multi_counts_b, inv_eff)
@@ -206,6 +239,7 @@ def run_em(
     min_rounds: int = 50,
     bias_update=None,
     singletons_after: bool = False,
+    priors: Optional[np.ndarray] = None,
 ) -> EmResult:
     """Run the EM to convergence (host/CPU device, float64).
 
@@ -241,12 +275,14 @@ def run_em(
     )
     cpu = jax.devices("cpu")[0]
     post_bias = None
+    alpha_init = None if priors is None else jnp.asarray(priors, jnp.float64)
     with jax.default_device(cpu):
         if bias_update is None:
             alpha, before, i = _run_em_jax(
                 *args, jnp.asarray(inv_eff),
                 num_trans=T, num_multi=num_multi,
                 n_iter=n_iter, min_rounds=min_rounds,
+                alpha_init=alpha_init,
             )
         else:
             state = None
@@ -264,7 +300,7 @@ def run_em(
                     *args, jnp.asarray(1.0 / cur_eff),
                     num_trans=T, num_multi=num_multi,
                     n_iter=bound, min_rounds=min_rounds,
-                    state=state,
+                    state=state, alpha_init=alpha_init,
                 )
             alpha, before, i = _finish_em_state(state)
             eff_lens = cur_eff

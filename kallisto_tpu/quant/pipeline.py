@@ -626,12 +626,18 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 alpha, cur_eff, opt.strand,
             )
 
+    priors = None
+    if opt.priors:
+        from .em import read_priors
+
+        priors = read_priors(opt.priors, index.num_trans)
     em = run_em(
         problem, counts, eff_lens, n_iter=10000, min_rounds=50,
         bias_update=bias_update,
         # PacBio-style long-read EM: singleton counts added after the loop
         # (ONT uses the standard loop; reference: EMAlgorithm.h:111,224-357)
         singletons_after=opt.long_read and opt.platform.upper() != "ONT",
+        priors=priors,
     )
     if em.eff_lens is not None and opt.bias:
         eff_lens = em.eff_lens

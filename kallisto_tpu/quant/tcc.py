@@ -162,7 +162,11 @@ def run_quant_tcc(opt: Options, index=None, chunk: int = 256) -> TccResult:
             eff_lens[c] = calc_eff_lens(target_lens, target_lens.astype(np.float64))
 
     problem = build_em_problem(ec_sets, T)
-    priors = None  # priors support: reference EMAlgorithm::read_priors
+    priors = None
+    if opt.priors:
+        from .em import read_priors
+
+        priors = read_priors(opt.priors, T)
     est = np.empty((C, T), np.float64)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -178,6 +182,7 @@ def run_quant_tcc(opt: Options, index=None, chunk: int = 256) -> TccResult:
                 num_trans=T,
                 num_multi=int(problem.multi_ec_ids.shape[0]),
                 n_iter=10000, min_rounds=50, batched_eff=True,
+                alpha_init=priors,
             )
             est[lo:hi] = np.asarray(alpha)
 

@@ -80,3 +80,52 @@ def test_batch_size_invariance(test_index, data_dir):
     np.testing.assert_array_equal(r1.counts, r2.counts)
     assert [s.tolist() for s in r1.ec_sets] == [s.tolist() for s in r2.ec_sets]
     np.testing.assert_allclose(r1.est_counts, r2.est_counts, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize(
+    "priors_file,golden_name",
+    [("priors.txt", "abundance.tsv"),           # raw counts -> pseudocount norm
+     ("priors_prob.txt", "abundance_prob.tsv")],  # probabilities, used as-is
+)
+def test_priors_abundance_byte_exact(
+    test_index, data_dir, golden_dir, tmp_path, priors_file, golden_name
+):
+    """-p/--priors initializes EM alpha (reference: EMAlgorithm.h:52-93).
+
+    Goldens from reference `quant --plaintext -p <file>` on the bundled data.
+    """
+    out = str(tmp_path / "quant_priors")
+    opt = Options(
+        files=[
+            os.path.join(data_dir, "reads_1.fastq.gz"),
+            os.path.join(data_dir, "reads_2.fastq.gz"),
+        ],
+        output_dir=out,
+        priors=os.path.join(data_dir, priors_file),
+    )
+    run_quant(opt, index=test_index)
+    mine = open(os.path.join(out, "abundance.tsv")).read()
+    golden = open(os.path.join(golden_dir, "quant_priors", golden_name)).read()
+    assert mine == golden
+
+
+def test_priors_length_mismatch_falls_back_to_uniform(
+    test_index, data_dir, golden_dir, tmp_path
+):
+    """A wrong-length priors file warns and uses uniform priors
+    (reference: EMAlgorithm::set_priors, src/EMAlgorithm.h:83-93)."""
+    bad = tmp_path / "bad_priors.txt"
+    bad.write_text("1\n2\n3\n")
+    out = str(tmp_path / "quant_badpriors")
+    opt = Options(
+        files=[
+            os.path.join(data_dir, "reads_1.fastq.gz"),
+            os.path.join(data_dir, "reads_2.fastq.gz"),
+        ],
+        output_dir=out,
+        priors=str(bad),
+    )
+    run_quant(opt, index=test_index)
+    mine = open(os.path.join(out, "abundance.tsv")).read()
+    golden = open(os.path.join(golden_dir, "quant_paired", "abundance.tsv")).read()
+    assert mine == golden

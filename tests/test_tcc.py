@@ -51,3 +51,19 @@ def test_tcc_no_efflens_mode(test_index, data_dir, tmp_path):
     )
     res = run_quant_tcc(opt, index=test_index)
     assert (res.eff_lens == 1.0).all()
+
+
+def test_tcc_priors_byte_exact(test_index, data_dir, golden_dir, tmp_path):
+    """quant-tcc -p priors (reference: main.cpp:2984-3019)."""
+    out = str(tmp_path / "out_p")
+    opt = Options(
+        ec_file=os.path.join(data_dir, "tcc_test.ec"),
+        tcc_file=os.path.join(data_dir, "tcc_test.mtx"),
+        output_dir=out,
+        priors=os.path.join(data_dir, "priors.txt"),
+    )
+    run_quant_tcc(opt, index=test_index)
+    for fname in ("matrix.abundance.mtx", "matrix.abundance.tpm.mtx"):
+        mine = open(os.path.join(out, fname)).read()
+        golden = open(os.path.join(golden_dir, "tcc_priors", fname)).read()
+        assert mine == golden
