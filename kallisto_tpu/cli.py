@@ -48,6 +48,12 @@ def _cmd_index(args):
     if args.kmer_size % 2 == 0 or not (3 <= args.kmer_size <= 31):
         sys.exit(f"Error: invalid k-mer size {args.kmer_size}, "
                  "must be odd and in [3, 31]")
+    if args.min_size != -1:
+        # the reference's -m sets Bifrost's minimizer length, a build-time
+        # tuning knob; this index has no minimizers (sorted-hash k-mer
+        # lookup), so the flag cannot change the result
+        print("[build] note: -m/--min-size has no effect (this index uses "
+              "hashed k-mer lookup, not minimizers)", file=sys.stderr)
     index = build_index(
         args.fasta,
         k=args.kmer_size,
@@ -55,6 +61,7 @@ def _cmd_index(args):
         max_ec_size=args.max_ec_size,
         dlist_paths=[args.d_list] if args.d_list else None,
         aa=args.aa,
+        distinguish=args.distinguish,
     )
     save_index(index, args.index)
     print(
@@ -108,6 +115,7 @@ def _cmd_quant(args):
         min_range=args.min_range,
         pseudobam=args.pseudobam,
         priors=args.priors or "",
+        verbose=args.verbose,
         threads=args.threads,
         call=" ".join(sys.argv),
     )

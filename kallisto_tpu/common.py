@@ -65,6 +65,7 @@ class Options:
     platform: str = ""
     threshold: float = 0.8          # --threshold: unmapped-kmer novelty cutoff
     priors: str = ""
+    verbose: bool = False
     write_index: bool = False
     make_unique: bool = False
     aa: bool = False

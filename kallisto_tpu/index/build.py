@@ -117,6 +117,75 @@ def _kmer_string(canon: int, k: int) -> str:
     return "".join("ACGT"[(int(canon) >> (2 * (k - 1 - j))) & 3] for j in range(k))
 
 
+def shaded_target_name(name: str) -> Tuple[str, str]:
+    """Split "<color>_shade_<variant>" -> (color-name, variant); ("", "")
+    when the name is not a shade (reference: shadedTargetName,
+    src/KmerIndex.cpp:236-244)."""
+    pos = name.find("_shade_")
+    if pos < 0:
+        return "", ""
+    return name[:pos], name[pos + len("_shade_"):]
+
+
+def _atoi(s: str) -> int:
+    """C atoi: leading integer prefix, 0 if none."""
+    i = 0
+    neg = False
+    if i < len(s) and s[i] in "+-":
+        neg = s[i] == "-"
+        i += 1
+    j = i
+    while j < len(s) and s[j].isdigit():
+        j += 1
+    if j == i:
+        return 0
+    v = int(s[i:j])
+    return -v if neg else v
+
+
+def _parse_distinguish(fasta_paths: Sequence[str], k: int):
+    """Read a --distinguish FASTA: names are integer "colors", optionally
+    with a _shade_<variant> suffix (reference: BuildDistinguishingGraph,
+    src/KmerIndex.cpp:413-496).  Sequences are NOT sanitized (the reference
+    re-emits them raw); k-mers containing non-ACGT are simply skipped by
+    the packing stage.
+
+    Returns (seqs, seq_color, seq_shade [-1 if none], target_names,
+    target_lens, ncolors).
+    """
+    from ..io.fastx import read_fasta
+
+    seqs: List[str] = []
+    seq_color: List[int] = []
+    seq_variant: List[str] = []
+    variants_set = set()
+    max_color = 0
+    for path in fasta_paths:
+        for header, seq in read_fasta(path):
+            name = header.split()[0] if header.split() else ""
+            if not name:
+                continue
+            tname, variant = shaded_target_name(name)
+            color = _atoi(tname if tname else name)
+            if variant:
+                variants_set.add(f"{color}_shade_{variant}")
+            max_color = max(max_color, color)
+            seqs.append(seq.upper())
+            seq_color.append(color)
+            seq_variant.append(f"{color}_shade_{variant}" if variant else "")
+    ncolors = max_color + 1
+    target_names = [str(i) for i in range(ncolors)]
+    # shade targets follow the colors in std::set (lexicographic) order
+    variants = sorted(variants_set)
+    target_names += variants
+    variant_id = {v: ncolors + i for i, v in enumerate(variants)}
+    seq_shade = np.array(
+        [variant_id[v] if v else -1 for v in seq_variant], np.int64
+    )
+    target_lens = np.full(len(target_names), k, np.uint32)  # dummy lengths
+    return seqs, np.array(seq_color, np.int64), seq_shade, target_names, target_lens, ncolors
+
+
 def _dlist_collect(
     dlist_paths: Sequence[str], keys: np.ndarray, k: int, overhang: int = 1
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -633,12 +702,28 @@ def build_index(
     max_ec_size: int = -1,
     dlist_paths: Optional[Sequence[str]] = None,
     aa: bool = False,
+    distinguish: bool = False,
 ) -> TpuIndex:
     if k % 2 == 0 or k < 3 or k > 31:
         raise ValueError("k must be odd and in [3, 31]")
 
-    san = sanitize_transcripts(fasta_paths, make_unique=make_unique, aa=aa)
-    keys = _collect_canonical_kmers(san.seqs, k)
+    seq_color = seq_shade = None
+    if distinguish:
+        # sequences distinguished by (integer) name: one target per color
+        # plus one per shade variant; no sanitization, no EC thresholding
+        # (reference: BuildDistinguishingGraph, src/KmerIndex.cpp:413-570)
+        (
+            base_seqs, seq_color, seq_shade, base_names, base_lens, _ncolors,
+        ) = _parse_distinguish(fasta_paths, k)
+        max_ec_size = -1
+        san = None
+    else:
+        san = sanitize_transcripts(fasta_paths, make_unique=make_unique, aa=aa)
+        base_seqs = san.seqs
+        base_names = san.names
+        base_lens = np.array(san.lens, np.uint32)
+    num_targets = len(base_names)
+    keys = _collect_canonical_kmers(base_seqs, k)
 
     # -- D-list (reference: KmerIndex::DListFlankingKmers,
     #    src/KmerIndex.cpp:682-1003): flanking k-mers of masked sequences
@@ -661,9 +746,12 @@ def build_index(
     kmer_uid, kmer_pos, kmer_fw, unitig_nkmers, chains = _build_unitigs(keys, k)
     useq_off, useq = _unitig_sequences(keys, chains, k)
 
-    walk_seqs = list(san.seqs)
-    trid_remap = np.arange(len(san.seqs), dtype=np.int64)
-    num_real = len(san.seqs)
+    walk_seqs = list(base_seqs)
+    num_seqs = len(base_seqs)
+    trid_remap = (
+        seq_color.copy() if distinguish
+        else np.arange(num_seqs, dtype=np.int64)
+    )
     dl_names: List[str] = []
     if dl_all.size:
         dl_names = [f"d_list.{j}" for j in range(dl_all.shape[0])]
@@ -674,13 +762,26 @@ def build_index(
             idx = np.searchsorted(keys, np.uint64(c))
             if idx < keys.shape[0] and keys[idx] == np.uint64(c):
                 walk_seqs.append(_kmer_string(int(c), k))
-                extra_ids.append(num_real + j)
+                extra_ids.append(num_targets + j)
         trid_remap = np.concatenate(
             [trid_remap, np.array(extra_ids, np.int64)]
         )
 
     runs = _transcript_runs(walk_seqs, k, keys, kmer_uid, kmer_pos, kmer_fw)
-    runs = (runs[0], trid_remap[runs[1]], *runs[2:])
+    if distinguish and (seq_shade >= 0).any():
+        # a shaded sequence contributes each run TWICE: once under its color
+        # and once under its shade target (reference: src/KmerIndex.cpp:551-559)
+        widx = runs[1]
+        is_shaded = (widx < num_seqs) & (seq_shade[np.minimum(widx, num_seqs - 1)] >= 0)
+        sh = np.flatnonzero(is_shaded)
+        runs = tuple(
+            np.concatenate([a, a[sh]]) for a in runs
+        )
+        trids = trid_remap[runs[1]]
+        trids[runs[1].shape[0] - sh.shape[0]:] = seq_shade[widx[sh]]
+        runs = (runs[0], trids, *runs[2:])
+    else:
+        runs = (runs[0], trid_remap[runs[1]], *runs[2:])
     (
         block_uid, block_start, block_end, block_ec,
         ec_ptr, ec_tx, bp_ptr, bp_tx, bp_pos, bp_rstart, bp_rstop, bp_strand,
@@ -732,12 +833,12 @@ def build_index(
 
     return TpuIndex(
         k=k,
-        target_names=san.names + dl_names,
+        target_names=base_names + dl_names,
         target_lens=np.concatenate(
-            [np.array(san.lens, np.uint32),
+            [np.asarray(base_lens, np.uint32),
              np.full(len(dl_names), k, np.uint32)]
         ),
-        num_onlist=len(san.names),
+        num_onlist=num_targets,
         kmer_keys=keys,
         kmer_uid=kmer_uid,
         kmer_pos=kmer_pos,
@@ -758,14 +859,19 @@ def build_index(
         unitig_nkmers=unitig_nkmers,
         unitig_seq_off=useq_off,
         unitig_seq=useq,
-        target_seq_off=np.concatenate(
-            [[0], np.cumsum([len(s) for s in san.seqs])]
-        ).astype(np.int64),
+        # per-target sequences only exist when targets map 1:1 to inputs
+        # (distinguish colors aggregate many sequences; bias is unsupported)
+        target_seq_off=(
+            np.zeros(num_targets + 1, np.int64) if distinguish
+            else np.concatenate(
+                [[0], np.cumsum([len(s) for s in base_seqs])]
+            ).astype(np.int64)
+        ),
         target_seq=(
             BASE_CODE[
-                np.frombuffer("".join(san.seqs).encode(), dtype=np.uint8)
+                np.frombuffer("".join(base_seqs).encode(), dtype=np.uint8)
             ]
-            if san.seqs else np.empty(0, np.uint8)
+            if base_seqs and not distinguish else np.empty(0, np.uint8)
         ),
         dlist_keys=dl_all,
         aa=aa,

@@ -35,10 +35,32 @@ class EcResolver:
         # mask_offlist=False keeps raw sets (the --aa 6-frame combiner needs
         # to see off-list members before masking, MinCollector.cpp:51-71)
         self.has_offlist = mask_offlist and index.num_onlist < index.num_trans
+        # shades: targets named "<color>_shade_<variant>" from a --distinguish
+        # index.  Detected from names exactly like the reference's load path
+        # (src/KmerIndex.cpp:1506-1517).
+        self.use_shade = False
+        shade_ids = [
+            i for i, n in enumerate(index.target_names) if "_shade_" in n
+        ]
+        if shade_ids:
+            T = index.num_trans
+            self.use_shade = True
+            self._shade_mask = np.zeros(T, bool)
+            self._shade_mask[shade_ids] = True
+            self._shade_color = np.full(T, -1, np.int64)
+            name_pos = {}
+            for i, n in enumerate(index.target_names):
+                name_pos.setdefault(n, i)
+            for i in shade_ids:
+                n = index.target_names[i]
+                tname = n[: n.find("_shade_")]
+                if tname in name_pos:
+                    self._shade_color[i] = name_pos[tname]
         # dynamic EC map: key = sorted transcript-id int32 bytes -> ec id
         self.ecmapinv: Dict[bytes, int] = {}
         self.ec_sets: List[np.ndarray] = []
         self.counts: List[int] = []
+        self.num_mapped = 0  # running total for progress reporting
         # cache: raw row-set key bytes -> resolved transcript set (or None)
         self._key_cache: Dict[bytes, Optional[np.ndarray]] = {}
         # cache: 128-bit device key hash -> resolved transcript set (or None)
@@ -67,13 +89,26 @@ class EcResolver:
         Content-equivalent to MinCollector::intersectECs
         (src/MinCollector.cpp:425-496): empty/wildcard rows never reach here
         (the device already dropped them) and duplicate rows are idempotent.
+        With shades, every row is stripped of shade targets first; rows that
+        become empty are skipped as wildcards (MinCollector.cpp:443-465).
         """
-        u = self._row(int(rows[0]))
-        for r in rows[1:]:
+        if not self.use_shade:
+            u = self._row(int(rows[0]))
+            for r in rows[1:]:
+                if u.shape[0] == 0:
+                    break
+                u = _intersect_sorted(u, self._row(int(r)))
+            return u
+        u = None
+        for r in rows:
+            row = self._row(int(r))
+            row = row[~self._shade_mask[row]]
+            if row.shape[0] == 0:
+                continue
+            u = row if u is None else _intersect_sorted(u, row)
             if u.shape[0] == 0:
-                break
-            u = _intersect_sorted(u, self._row(int(r)))
-        return u
+                return u
+        return u if u is not None else np.empty(0, np.int32)
 
     def _union_rows(self, rows: np.ndarray) -> np.ndarray:
         u = self._row(int(rows[0]))
@@ -139,9 +174,28 @@ class EcResolver:
             else:
                 u = u1
         else:
+            if self.use_shade:
+                # shades never participate in the cross-mate intersection
+                # (MinCollector.cpp:194-195; no-op unless do_union)
+                u1 = u1[~self._shade_mask[u1]]
+                u2 = u2[~self._shade_mask[u2]]
             u = _intersect_sorted(u1, u2)
             if u.shape[0] == 0:
                 u = None
+
+        if u is not None and self.use_shade:
+            # add back every seen shade whose color is in the intersection
+            # (MinCollector.cpp:204-214: union of both mates' row unions,
+            # restricted to shades of retained colors)
+            seen = [self._row(int(r)) for r in rows1] + [
+                self._row(int(r)) for r in rows2
+            ]
+            if seen:
+                allv = np.unique(np.concatenate(seen))
+                shades = allv[self._shade_mask[allv]]
+                keep = shades[np.isin(self._shade_color[shades], u)]
+                if keep.shape[0]:
+                    u = np.union1d(u, keep).astype(np.int32)
 
         # off-list mask (u &= onlist_sequences, ProcessReads.cpp:1072);
         # a no-op until D-list support adds off-list pseudo-targets
@@ -273,6 +327,7 @@ class EcResolver:
             if u is not None:
                 ec = self.ec_id_for(u)
                 self.counts[ec] += int(occ[qi])
+                self.num_mapped += int(occ[qi])
 
     def count_batch(
         self,
@@ -298,6 +353,7 @@ class EcResolver:
                 continue
             ec = self.ec_id_for(s)
             self.counts[ec] += int(occ[qi])
+            self.num_mapped += int(occ[qi])
             ec_of[qi] = ec
             card_of[qi] = s.shape[0]
         return ec_of[inv_f], card_of[inv_f]

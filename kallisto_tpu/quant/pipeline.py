@@ -7,6 +7,7 @@ batched device execution + deterministic host reductions.
 """
 
 import os
+import sys
 import time
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
@@ -48,6 +49,32 @@ from .fld import (
 
 _FLEN_GOAL = 10000  # reference: ProcessReads.cpp:985
 _BIAS_GOAL = 1000000  # reference: ProcessReads.h:178 maxBiasCount
+
+
+def _log(msg: str, end: str = "\n"):
+    print(msg, file=sys.stderr, end=end, flush=True)
+
+
+class _Progress:
+    """1M-read progress line with %mapped
+    (reference: MasterProcessor::update, src/ProcessReads.cpp:634-643)."""
+
+    def __init__(self, resolver):
+        self._resolver = resolver
+        self._counter = 0
+        self.printed = False
+
+    def update(self, n: int, num_processed: int):
+        self._counter += n
+        if self._counter >= 1000000:
+            self._counter = 0
+            pct = 100.0 * self._resolver.num_mapped / max(num_processed, 1)
+            _log(
+                f"\r[progress] {num_processed // 1000000}M reads processed"
+                f" ({pct:5.1f}% mapped)             ",
+                end="",
+            )
+            self.printed = True
 
 
 @dataclass
@@ -507,6 +534,26 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             np.add.at(bias5, hx_h[m], 1)
             bias_total += int(m.sum())
 
+    # stderr chatter matching the reference's ProcessReads prologue
+    # (src/ProcessReads.cpp:196-231)
+    if opt.long_read:
+        _log("[quant] running in long read mode")
+    elif paired:
+        _log("[quant] running in paired-end mode")
+    else:
+        _log("[quant] running in single-end mode")
+    if paired and len(opt.files) % 2 == 0:
+        for i in range(0, len(opt.files), 2):
+            _log(f"[quant] will process pair {i // 2 + 1}: {opt.files[i]}")
+            _log(f"                             {opt.files[i + 1]}")
+    else:
+        for i, f in enumerate(opt.files):
+            _log(f"[quant] will process file {i + 1}: {f}")
+    _log("[quant] finding pseudoalignments for the reads ...", end="")
+    if opt.verbose:
+        _log("")
+    progress = _Progress(resolver)
+
     novel_path = (
         os.path.join(opt.output_dir, "novel.fastq") if opt.output_dir else ""
     )
@@ -544,6 +591,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             ]
             resolver.count_batch(final_idx, final_sets)
             num_processed += b1.n
+            progress.update(b1.n, num_processed)
             if novel_f is not None:
                 for r in np.flatnonzero(novel | np.array(
                     [sv is None for sv in sets]
@@ -579,9 +627,11 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             cur = dispatch_pair(b1, b2, want_fld)
             if pending is not None:
                 process_pair(pending)
+                progress.update(pending[1].n, num_processed)
             pending = cur
         if pending is not None:
             process_pair(pending)
+            progress.update(pending[1].n, num_processed)
     else:
         if opt.fld_mean <= 0 or opt.fld_sd <= 0:
             raise ValueError("single-end mode requires -l and -s")  # noqa: E501 (long reads bypass via the branch above)
@@ -597,9 +647,25 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             cur = dispatch_single(b1)
             if pending is not None:
                 process_single(pending)
+                progress.update(pending[1].n, num_processed)
             pending = cur
         if pending is not None:
             process_single(pending)
+            progress.update(pending[1].n, num_processed)
+
+    # completion summary (reference: ProcessReads.cpp:227-241)
+    if opt.verbose or progress.printed:
+        _log("\n[quant] done ")
+    else:
+        _log(" done")
+    if opt.bias:
+        _log("[quant] learning parameters for sequence specific bias")
+    _log(
+        f"[quant] processed {num_processed:,} reads, "
+        f"{resolver.num_mapped:,} reads pseudoaligned"
+    )
+    if resolver.num_mapped == 0:
+        _log("[~warn] no reads pseudoaligned.")
 
     # -- FLD post-processing (reference: main.cpp:2663-2681) --------------
     if opt.fld_mean == 0.0:
@@ -631,6 +697,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         from .em import read_priors
 
         priors = read_priors(opt.priors, index.num_trans)
+    _log("[   em] quantifying the abundances ...", end="")
     em = run_em(
         problem, counts, eff_lens, n_iter=10000, min_rounds=50,
         bias_update=bias_update,
@@ -638,6 +705,11 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         # (ONT uses the standard loop; reference: EMAlgorithm.h:111,224-357)
         singletons_after=opt.long_read and opt.platform.upper() != "ONT",
         priors=priors,
+    )
+    _log(" done")
+    _log(
+        "[   em] the Expectation-Maximization algorithm ran for "
+        f"{em.n_rounds:,} rounds"
     )
     if em.eff_lens is not None and opt.bias:
         eff_lens = em.eff_lens
