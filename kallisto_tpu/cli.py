@@ -166,8 +166,20 @@ def _cmd_quant_tcc(args):
     from .common import Options
     from .quant.tcc import run_quant_tcc
 
+    if not args.index and not args.txnames:
+        sys.exit("Error: either a kallisto index file or a transcripts file "
+                 "need to be supplied")
+    if args.index and args.txnames:
+        sys.exit("Error: cannot supply both a kallisto index file and a "
+                 "transcripts file")
+    if (args.fragment_length != 0.0 or args.sd != 0.0) and args.fragment_file:
+        sys.exit("Error: cannot supply mean or sd while also supplying a "
+                 "fragment length distribution file")
+    if (args.fragment_length != 0.0) != (args.sd != 0.0):
+        sys.exit("Error: cannot supply mean/sd without supplying both -l and -s")
     opt = Options(
-        index_path=args.index,
+        index_path=args.index or "",
+        txnames_file=args.txnames or "",
         output_dir=args.output_dir,
         ec_file=args.ec_file,
         tcc_file=args.tcc,
@@ -175,9 +187,15 @@ def _cmd_quant_tcc(args):
         fld_sd=args.sd,
         fld_file=args.fragment_file,
         genemap=args.genemap,
+        gtf_file=args.gtf or "",
         bootstrap=args.bootstrap_samples,
         seed=args.seed,
         priors=args.priors or "",
+        long_read=args.long,
+        platform=args.platform,
+        plaintext=args.plaintext,
+        matrix_to_files=args.matrix_to_files or args.matrix_to_directories,
+        matrix_to_directories=args.matrix_to_directories,
         threads=args.threads,
         call=" ".join(sys.argv),
     )
@@ -278,16 +296,23 @@ def main(argv=None):
     p.set_defaults(fn=_cmd_bus)
 
     p = sub.add_parser("quant-tcc", help="quantify from transcript-compatibility counts")
-    p.add_argument("-i", "--index", required=True)
+    p.add_argument("-i", "--index", default="")
+    p.add_argument("-T", "--txnames", default="")
     p.add_argument("-o", "--output-dir", required=True)
     p.add_argument("-e", "--ec-file", required=True)
     p.add_argument("-l", "--fragment-length", type=float, default=0.0)
     p.add_argument("-s", "--sd", type=float, default=0.0)
     p.add_argument("-f", "--fragment-file", default="")
     p.add_argument("-g", "--genemap", default="")
+    p.add_argument("-G", "--gtf", default="")
     p.add_argument("-b", "--bootstrap-samples", type=int, default=0)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("-p", "--priors", default=None)
+    p.add_argument("--long", action="store_true")
+    p.add_argument("-P", "--platform", default="")
+    p.add_argument("--plaintext", action="store_true")
+    p.add_argument("--matrix-to-files", action="store_true")
+    p.add_argument("--matrix-to-directories", action="store_true")
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("tcc")
     p.set_defaults(fn=_cmd_quant_tcc)

@@ -88,6 +88,8 @@ class Options:
     fld_file: str = ""
     genemap: str = ""
     txnames_file: str = ""
+    matrix_to_files: bool = False
+    matrix_to_directories: bool = False
 
     # device execution controls (no reference equivalent)
     batch_size: int = 1 << 18       # reads per device batch

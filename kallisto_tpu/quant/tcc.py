@@ -3,9 +3,15 @@
 reference: src/main.cpp:2802-3220.  The reference runs one EM thread per
 cell; here every cell is a row of ONE vmapped EM program (shared EC
 structure, batched counts and effective lengths), chunked over cells.
+
+Surface: MatrixMarket or flat (single-cell) TCC files, -i index or -T
+txnames (index-free), -e ec file, -l/-s or -f FLD file, -g t2g or -G GTF
+gene rollup, -p priors, -b bootstraps, --matrix-to-files /
+--matrix-to-directories per-cell outputs, --plaintext.
 """
 
 import os
+import sys
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -14,14 +20,20 @@ import numpy as np
 
 from ..common import MAX_FRAG_LEN, Options
 from ..io import writers
-from .em import EmProblem, build_em_problem, counts_to_tpm, _run_em_batch_jax
+from .em import (
+    EmProblem,
+    build_em_problem,
+    counts_to_tpm,
+    read_priors,
+    _run_em_batch_jax,
+)
 from .fld import (
     calc_eff_lens,
     compute_mean_frag_lens_trunc,
     get_frag_len_means,
     trunc_gaussian_fld,
 )
-from .genemodel import GeneMap, parse_gene_map, rollup_to_genes
+from .genemodel import Transcriptome, rollup_to_genes
 
 
 def load_ec_file(path: str, num_trans: int) -> List[np.ndarray]:
@@ -43,11 +55,11 @@ def load_ec_file(path: str, num_trans: int) -> List[np.ndarray]:
     return ec_sets
 
 
-def load_tcc_matrix(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
+def load_tcc_matrix(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, int, bool]:
     """Parse a MatrixMarket TCC file (rows = cells, cols = ECs) or a flat
     2-column `ec count` file (single cell).
 
-    Returns (rows, cols, vals) 0-based plus (nrow, ncol).
+    Returns (rows, cols, vals) 0-based plus (nrow, ncol, is_matrix).
     reference: src/main.cpp:2821-2899.
     """
     with open(path) as f:
@@ -66,12 +78,12 @@ def load_tcc_matrix(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int,
             rows, cols, vals = data[:, 0] - 1, data[:, 1] - 1, data[:, 2]
             if (rows >= nrow).any() or (cols >= ncol).any():
                 raise ValueError("TCC matrix file is malformed")
-            return rows, cols, vals, nrow, ncol
+            return rows, cols, vals, nrow, ncol, True
         # flat: zero-indexed `ec count`
         entries = [first] + f.readlines()
     data = np.loadtxt(entries, dtype=np.int64, ndmin=2)
     cols, vals = data[:, 0], data[:, 1]
-    return np.zeros_like(cols), cols, vals, 1, int(cols.max()) + 1
+    return np.zeros_like(cols), cols, vals, 1, int(cols.max()) + 1, False
 
 
 def load_fld_file(path: str, num_trans: int) -> List[np.ndarray]:
@@ -92,6 +104,20 @@ def load_fld_file(path: str, num_trans: int) -> List[np.ndarray]:
     return out
 
 
+def load_txnames(path: str) -> List[str]:
+    """-T txnames: whitespace-separated target names, index-free mode
+    (reference: KmerIndex::loadTranscriptsFromFile, src/KmerIndex.cpp:1602-1620)."""
+    names: List[str] = []
+    with open(path) as f:
+        for line in f:
+            names.extend(line.split())
+    print(
+        f"[index] number of targets loaded from file: {len(names):,}",
+        file=sys.stderr,
+    )
+    return names
+
+
 @dataclass
 class TccResult:
     est_counts: np.ndarray     # [C, T]
@@ -102,16 +128,48 @@ class TccResult:
     gene_tpm: Optional[np.ndarray]
 
 
-def run_quant_tcc(opt: Options, index=None, chunk: int = 256) -> TccResult:
-    from ..index import load_index
+def _write_gene_tsv(path: str, model: Transcriptome, alpha, eff_lens):
+    """reference: plaintext_writer_gene (src/PlaintextWriter.cpp:67-112) --
+    every gene is written, including zero-count ones."""
+    tpm = counts_to_tpm(alpha, eff_lens)
+    ng = len(model.genes)
+    gc = rollup_to_genes(alpha, model.tx_gene, ng)
+    gc_tpm = np.zeros(ng, np.float64)
+    mask = (model.tx_gene >= 0) & (alpha > 0)
+    np.add.at(gc_tpm, model.tx_gene[mask], tpm[mask])
+    with open(path, "w") as f:
+        f.write("gene_id\tgene_name\test_counts\ttpm\n")
+        for i, g in enumerate(model.genes):
+            f.write(
+                f"{g.name}\t{g.common_name}\t"
+                f"{writers.cpp_double(gc[i])}\t{writers.cpp_double(gc_tpm[i])}\n"
+            )
 
-    if index is None:
-        index = load_index(opt.index_path)
-    T = index.num_trans
-    target_lens = index.target_lens
+
+def run_quant_tcc(opt: Options, index=None, chunk: int = 256) -> TccResult:
+    if opt.txnames_file:
+        # index-free: names from file, zero lengths
+        if opt.index_path:
+            raise ValueError(
+                "cannot supply both a kallisto index file and a transcripts file"
+            )
+        target_names = load_txnames(opt.txnames_file)
+        target_lens = np.zeros(len(target_names), np.uint32)
+        # the reference's onlist stays empty in index-free mode, so no
+        # transcripts.txt is written (main.cpp:2914-2920)
+        num_onlist = 0
+    else:
+        if index is None:
+            from ..index import load_index
+
+            index = load_index(opt.index_path)
+        target_names = index.target_names
+        target_lens = index.target_lens
+        num_onlist = index.num_onlist
+    T = len(target_names)
 
     ec_sets = load_ec_file(opt.ec_file, T)
-    rows, cols, vals, C, ncol = load_tcc_matrix(opt.tcc_file)
+    rows, cols, vals, C, ncol, is_matrix = load_tcc_matrix(opt.tcc_file)
     if ncol > len(ec_sets):
         raise ValueError("TCC matrix has more ECs than the EC file")
 
@@ -119,8 +177,13 @@ def run_quant_tcc(opt: Options, index=None, chunk: int = 256) -> TccResult:
     counts[rows, cols] = vals
 
     calc_eff = bool(opt.fld_file) or opt.fld_mean != 0.0
+    # the PacBio long-read path ignores a supplied FLD file unless the
+    # platform is PACBIO (reference: main.cpp:2944)
+    use_fld_file = bool(opt.fld_file) and (
+        not opt.long_read or opt.platform.upper() == "PACBIO"
+    )
     flds: List[np.ndarray] = []
-    if calc_eff and opt.fld_file:
+    if calc_eff and use_fld_file:
         flds = load_fld_file(opt.fld_file, T)
         if len(flds) not in (1, C):
             raise ValueError(
@@ -128,11 +191,17 @@ def run_quant_tcc(opt: Options, index=None, chunk: int = 256) -> TccResult:
                 f"expected {C}"
             )
 
+    # ONT long reads skip effective-length computation entirely
+    # (reference: main.cpp:2999 `!opt.long_read || !(opt.platform == "ONT")`)
+    calc_eff_now = calc_eff and (
+        not opt.long_read or opt.platform.upper() != "ONT"
+    )
+
     # per-cell effective lengths (reference: EM_lambda, main.cpp:2996-3016)
     eff_lens = np.empty((C, T), np.float64)
-    fld_stats = np.zeros((C, 2), np.float64) if calc_eff else None
+    fld_stats = np.zeros((C, 2), np.float64) if calc_eff_now else None
     for c in range(C):
-        if calc_eff:
+        if calc_eff_now:
             if opt.fld_mean != 0.0:
                 # -l/-s: truncated-gaussian conditional means; the cell's
                 # observed flens histogram stays EMPTY, so the reported sd is
@@ -162,19 +231,23 @@ def run_quant_tcc(opt: Options, index=None, chunk: int = 256) -> TccResult:
             eff_lens[c] = calc_eff_lens(target_lens, target_lens.astype(np.float64))
 
     problem = build_em_problem(ec_sets, T)
-    priors = None
-    if opt.priors:
-        from .em import read_priors
-
-        priors = read_priors(opt.priors, T)
+    priors = read_priors(opt.priors, T) if opt.priors else None
+    print("[quant] Running EM algorithm...", file=sys.stderr)
     est = np.empty((C, T), np.float64)
+    # PacBio-style long-read EM adds singleton counts after the loop
+    # (reference: EMAlgorithm.h:111,224-357; ONT uses the standard loop)
+    singletons_after = opt.long_read and opt.platform.upper() != "ONT"
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         for lo in range(0, C, chunk):
             hi = min(lo + chunk, C)
             sa = np.zeros((hi - lo, T), np.float64)
+            post = None
             if problem.singleton_tx.size:
                 sa[:, problem.singleton_tx] = counts[lo:hi][:, problem.singleton_ec]
+            if singletons_after:
+                post = sa
+                sa = np.zeros((hi - lo, T), np.float64)
             mc = counts[lo:hi][:, problem.multi_ec_ids]
             inv_eff = 1.0 / eff_lens[lo:hi]
             alpha, _, _ = _run_em_batch_jax(
@@ -185,18 +258,28 @@ def run_quant_tcc(opt: Options, index=None, chunk: int = 256) -> TccResult:
                 alpha_init=priors,
             )
             est[lo:hi] = np.asarray(alpha)
+            if post is not None:
+                est[lo:hi] += post
 
     tpm = np.stack([counts_to_tpm(est[c], eff_lens[c]) for c in range(C)])
 
-    gmap: Optional[GeneMap] = None
+    model: Optional[Transcriptome] = None
     gene_counts = gene_tpm = None
-    if getattr(opt, "genemap", ""):
-        gmap = parse_gene_map(opt.genemap, index.target_names)
+    if opt.genemap and opt.gtf_file:
+        raise ValueError("cannot supply both --genemap and --gtf")
+    if opt.genemap or opt.gtf_file:
+        model = Transcriptome(target_names, target_lens)
+        if opt.genemap:
+            model.parse_gene_map(opt.genemap)
+        else:
+            model.parse_gtf(opt.gtf_file, guess_chromosomes=True)
+        ng = len(model.genes)
+        tx_gene = model.tx_gene
         gene_counts = np.stack(
-            [rollup_to_genes(est[c], gmap.tx_gene, gmap.num_genes) for c in range(C)]
+            [rollup_to_genes(est[c], tx_gene, ng) for c in range(C)]
         )
         gene_tpm = np.stack(
-            [rollup_to_genes(tpm[c], gmap.tx_gene, gmap.num_genes) for c in range(C)]
+            [rollup_to_genes(tpm[c], tx_gene, ng) for c in range(C)]
         )
 
     result = TccResult(
@@ -207,11 +290,51 @@ def run_quant_tcc(opt: Options, index=None, chunk: int = 256) -> TccResult:
     if opt.output_dir:
         os.makedirs(opt.output_dir, exist_ok=True)
         out = opt.output_dir
-        writers.write_transcripts(os.path.join(out, "transcripts.txt"), index.target_names)
-        _write_mtx(os.path.join(out, "matrix.abundance.mtx"), est)
-        _write_mtx(os.path.join(out, "matrix.abundance.tpm.mtx"), tpm)
-        if calc_eff:
-            _write_mtx(os.path.join(out, "matrix.efflens.mtx"), eff_lens, dense_mask=est > 0)
+        if num_onlist > 0:
+            writers.write_transcripts(
+                os.path.join(out, "transcripts.txt"), target_names[:num_onlist]
+            )
+        if is_matrix:
+            _write_mtx(os.path.join(out, "matrix.abundance.mtx"), est)
+            _write_mtx(os.path.join(out, "matrix.abundance.tpm.mtx"), tpm)
+            if calc_eff_now:
+                _write_mtx(os.path.join(out, "matrix.efflens.mtx"), eff_lens, dense_mask=est > 0)
+            if model is not None:
+                _write_mtx(os.path.join(out, "matrix.abundance.gene.mtx"), gene_counts)
+                _write_mtx(os.path.join(out, "matrix.abundance.gene.tpm.mtx"), gene_tpm)
+                with open(os.path.join(out, "genes.txt"), "w") as f:
+                    for g in model.genes:
+                        f.write(f"{g.name}\n")
+            if opt.matrix_to_files:
+                _write_per_cell_outputs(
+                    opt, out, target_names, target_lens, est, eff_lens,
+                    problem, counts, model,
+                )
+        else:
+            # flat TCC file: single-cell plaintext outputs
+            # (reference: main.cpp:3156-3184)
+            writers.write_abundance_tsv(
+                os.path.join(out, "abundance.tsv"),
+                target_names, target_lens, eff_lens[0], est[0], tpm[0],
+            )
+            if model is not None:
+                _write_gene_tsv(
+                    os.path.join(out, "abundance.gene.tsv"),
+                    model, est[0], eff_lens[0],
+                )
+            if opt.bootstrap > 0:
+                from .bootstrap import run_bootstraps
+
+                bs = run_bootstraps(
+                    problem, counts[0], eff_lens[0], opt.bootstrap, opt.seed
+                )
+                for b in range(opt.bootstrap):
+                    writers.write_abundance_tsv(
+                        os.path.join(out, f"bs_abundance_{b}.tsv"),
+                        target_names, target_lens, eff_lens[0], bs[b],
+                        counts_to_tpm(bs[b], eff_lens[0]),
+                    )
+        if calc_eff_now:
             with open(os.path.join(out, "matrix.fld.tsv"), "w") as f:
                 for c in range(C):
                     f.write(
@@ -219,16 +342,100 @@ def run_quant_tcc(opt: Options, index=None, chunk: int = 256) -> TccResult:
                         f"{writers.cpp_double(fld_stats[c,1])}\n"
                     )
             with open(os.path.join(out, "transcript_lengths.txt"), "w") as f:
-                for n, L in zip(index.target_names, target_lens):
+                for n, L in zip(target_names, target_lens):
                     f.write(f"{n} {int(L)}\n")
-        if gmap is not None:
-            _write_mtx(os.path.join(out, "matrix.abundance.gene.mtx"), gene_counts)
-            _write_mtx(os.path.join(out, "matrix.abundance.gene.tpm.mtx"), gene_tpm)
-            with open(os.path.join(out, "genes.txt"), "w") as f:
-                for g in gmap.gene_names:
-                    f.write(f"{g}\n")
 
     return result
+
+
+def _write_per_cell_outputs(
+    opt, out, target_names, target_lens, est, eff_lens, problem, counts, model
+):
+    """--matrix-to-files / --matrix-to-directories: one abundance tsv (+h5,
+    + bootstraps) per matrix row (reference: main.cpp:3060-3150)."""
+    C = est.shape[0]
+    bs_all = None
+    if opt.bootstrap > 0:
+        from .bootstrap import run_bootstraps
+
+        bs_all = [
+            run_bootstraps(problem, counts[c], eff_lens[c], opt.bootstrap, opt.seed)
+            if est[c].sum() > 0 else np.tile(est[c], (opt.bootstrap, 1))
+            for c in range(C)
+        ]
+    for c in range(C):
+        if opt.matrix_to_directories:
+            cell_dir = os.path.join(out, f"abundance_{c + 1}")
+            if os.path.exists(cell_dir) and not os.path.isdir(cell_dir):
+                raise ValueError(
+                    f"file {cell_dir} exists and is not a directory"
+                )
+            os.makedirs(cell_dir, exist_ok=True)
+            ab_path = os.path.join(cell_dir, "abundance.tsv")
+            gene_path = os.path.join(cell_dir, "abundance.gene.tsv")
+            h5_path = os.path.join(cell_dir, "abundance.h5")
+            bs_fmt = os.path.join(cell_dir, "bs_abundance_{b}.tsv")
+            bs_gene_fmt = os.path.join(cell_dir, "bs_abundance.gene_{b}.tsv")
+        else:
+            ab_path = os.path.join(out, f"abundance_{c + 1}.tsv")
+            gene_path = os.path.join(out, f"abundance.gene_{c + 1}.tsv")
+            h5_path = os.path.join(out, f"abundance_{c + 1}.h5")
+            bs_fmt = os.path.join(out, f"bs_abundance_{c + 1}_{{b}}.tsv")
+            bs_gene_fmt = os.path.join(out, f"bs_abundance.gene_{c + 1}_{{b}}.tsv")
+        writers.write_abundance_tsv(
+            ab_path, target_names, target_lens, eff_lens[c], est[c],
+            counts_to_tpm(est[c], eff_lens[c]),
+        )
+        if model is not None:
+            _write_gene_tsv(gene_path, model, est[c], eff_lens[c])
+        if not opt.plaintext:
+            from ..io.h5 import HAVE_H5PY, write_abundance_h5
+            from ..common import REFERENCE_INDEX_VERSION
+
+            if HAVE_H5PY:
+                fld = (
+                    np.asarray(
+                        _tcc_fld_counts(opt), np.uint32
+                    )
+                )
+                write_abundance_h5(
+                    h5_path,
+                    est_counts=est[c],
+                    target_names=target_names,
+                    lengths=target_lens,
+                    eff_lens=eff_lens[c],
+                    fld=fld,
+                    bias_observed=np.ones(4096, np.int32),
+                    bias_normalized=np.ones(4096, np.float64),
+                    num_bootstrap=opt.bootstrap,
+                    num_processed=0,
+                    kallisto_version="",
+                    index_version=REFERENCE_INDEX_VERSION,
+                    start_time="",
+                    call="",
+                    bootstraps=bs_all[c] if bs_all is not None else None,
+                )
+        if opt.plaintext and bs_all is not None:
+            for b in range(opt.bootstrap):
+                writers.write_abundance_tsv(
+                    bs_fmt.format(b=b),
+                    target_names, target_lens, eff_lens[c], bs_all[c][b],
+                    counts_to_tpm(bs_all[c][b], eff_lens[c]),
+                )
+                if model is not None:
+                    _write_gene_tsv(
+                        bs_gene_fmt.format(b=b), model, bs_all[c][b], eff_lens[c]
+                    )
+
+
+def _tcc_fld_counts(opt) -> np.ndarray:
+    from .fld import trunc_gaussian_counts
+
+    if opt.fld_mean != 0.0:
+        return trunc_gaussian_counts(
+            0, MAX_FRAG_LEN, opt.fld_mean, opt.fld_sd, 10000
+        )
+    return np.zeros(MAX_FRAG_LEN, np.uint32)
 
 
 def _write_mtx(path: str, mat: np.ndarray, dense_mask: Optional[np.ndarray] = None):
