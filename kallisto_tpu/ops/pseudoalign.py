@@ -572,6 +572,122 @@ def pseudoalign_pair_compact_packed(
     )
 
 
+def _codes_from_packed(packed: jnp.ndarray, L: int) -> jnp.ndarray:
+    """2-bit unpack without an N bitmask (slim upload path)."""
+    B = packed.shape[0]
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    c = (packed[:, :, None] >> shifts[None, None, :]) & 3
+    return c.reshape(B, -1)[:, :L]
+
+
+def _apply_n_exceptions(codes: jnp.ndarray, nexc: jnp.ndarray) -> jnp.ndarray:
+    """Scatter N markers (code 4) at sparse flattened positions.
+
+    nexc is a fixed-width int32 vector of flattened indices into codes,
+    padded with an out-of-bounds sentinel (dropped by the scatter).
+    """
+    B, L = codes.shape
+    return codes.reshape(-1).at[nexc].set(jnp.uint8(4), mode="drop").reshape(B, L)
+
+
+@partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
+def pseudoalign_pair_compact_slim(
+    didx: DeviceIndex,
+    p1: jnp.ndarray,
+    p2: jnp.ndarray,
+    nexc: jnp.ndarray,
+    rlen: jnp.ndarray,
+    k: int,
+    L: int,
+    max_rows: int = 16,
+    max_keys: int = 16384,
+):
+    """Steady-state pair step with the minimal upload: 2-bit packed codes
+    only.  A uniform read length travels as one scalar (a dynamic arg, NOT
+    a compiled-in constant: XLA would constant-fold the [B, W] validity
+    mask through the whole kernel, exploding compile time) and N
+    positions arrive as a sparse exception list instead of a per-read
+    bitmask -- the host->device link is the end-to-end bottleneck, and this
+    cuts upload traffic from ~50 to ~28 bytes/pair.  Semantics match
+    pseudoalign_pair_compact_packed exactly (window validity is decided by
+    rlen + in-read N codes, identical to the bitmask path)."""
+    B = p1.shape[0]
+    codes = jnp.concatenate(
+        [_codes_from_packed(p1, L), _codes_from_packed(p2, L)]
+    )
+    codes = _apply_n_exceptions(codes, nexc)
+    lens = jnp.full(2 * B, 0, jnp.int32) + rlen.astype(jnp.int32)
+    r = _pseudoalign_core(didx, codes, lens, k, max_rows)
+    r1 = SideResult(*(a[:B] for a in r))
+    r2 = SideResult(*(a[B:] for a in r))
+    ck = compact_pair_keys(r1, r2, max_keys)
+    return r1, r2, _ck_flat(ck)
+
+
+@partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
+def pseudoalign_pair_compact_slim_varlen(
+    didx: DeviceIndex,
+    p1: jnp.ndarray,
+    l1: jnp.ndarray,
+    p2: jnp.ndarray,
+    l2: jnp.ndarray,
+    nexc: jnp.ndarray,
+    k: int,
+    L: int,
+    max_rows: int = 16,
+    max_keys: int = 16384,
+):
+    """Slim pair step for mixed-length batches: lens travel as uint16."""
+    B = p1.shape[0]
+    codes = jnp.concatenate(
+        [_codes_from_packed(p1, L), _codes_from_packed(p2, L)]
+    )
+    codes = _apply_n_exceptions(codes, nexc)
+    lens = jnp.concatenate([l1, l2]).astype(jnp.int32)
+    r = _pseudoalign_core(didx, codes, lens, k, max_rows)
+    r1 = SideResult(*(a[:B] for a in r))
+    r2 = SideResult(*(a[B:] for a in r))
+    ck = compact_pair_keys(r1, r2, max_keys)
+    return r1, r2, _ck_flat(ck)
+
+
+@partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
+def pseudoalign_single_compact_slim(
+    didx: DeviceIndex,
+    p1: jnp.ndarray,
+    nexc: jnp.ndarray,
+    rlen: jnp.ndarray,
+    k: int,
+    L: int,
+    max_rows: int = 16,
+    max_keys: int = 16384,
+):
+    B = p1.shape[0]
+    codes = _apply_n_exceptions(_codes_from_packed(p1, L), nexc)
+    lens = jnp.full(B, 0, jnp.int32) + rlen.astype(jnp.int32)
+    r1 = _pseudoalign_core(didx, codes, lens, k, max_rows)
+    ck = compact_single_keys(r1, max_keys)
+    return r1, _ck_flat(ck)
+
+
+@partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
+def pseudoalign_single_compact_slim_varlen(
+    didx: DeviceIndex,
+    p1: jnp.ndarray,
+    l1: jnp.ndarray,
+    nexc: jnp.ndarray,
+    k: int,
+    L: int,
+    max_rows: int = 16,
+    max_keys: int = 16384,
+):
+    B = p1.shape[0]
+    codes = _apply_n_exceptions(_codes_from_packed(p1, L), nexc)
+    r1 = _pseudoalign_core(didx, codes, l1.astype(jnp.int32), k, max_rows)
+    ck = compact_single_keys(r1, max_keys)
+    return r1, _ck_flat(ck)
+
+
 @partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
 def pseudoalign_single_compact_packed(
     didx: DeviceIndex,

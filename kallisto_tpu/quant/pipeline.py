@@ -31,7 +31,11 @@ from ..ops.pseudoalign import (
     pair_key_hash,
     pseudoalign_batch_packed,
     pseudoalign_pair_compact_packed,
+    pseudoalign_pair_compact_slim,
+    pseudoalign_pair_compact_slim_varlen,
     pseudoalign_single_compact_packed,
+    pseudoalign_single_compact_slim,
+    pseudoalign_single_compact_slim_varlen,
     single_key_hash,
     unflatten_ck_host,
 )
@@ -129,6 +133,89 @@ class _SideArrays:
                 cache[name] = a if n is None else a[:n]
             return cache[name]
         raise AttributeError(name)
+
+
+_EXC_CAP = 8192  # max sparse N positions per batch on the slim upload path
+_pad_pats: dict = {}
+
+
+def _padding_nmask_patterns(Lp: int) -> np.ndarray:
+    """[Lp+1, Lp/8] expected nmask rows for N-free reads of each length
+    (the native reader marks padding positions as N; an N-free read of
+    length l has exactly the bits >= l set)."""
+    pats = _pad_pats.get(Lp)
+    if pats is None:
+        j = np.arange(Lp)
+        bits = (j[None, :] >= np.arange(Lp + 1)[:, None]).astype(np.uint8)
+        pats = np.packbits(bits, axis=1, bitorder="little")
+        _pad_pats[Lp] = pats
+    return pats
+
+
+def _slim_exceptions(batches, cap: int = _EXC_CAP) -> Optional[np.ndarray]:
+    """Sparse in-read N positions for the slim upload path.
+
+    Returns a fixed-width int32 vector of flattened indices into the
+    concatenated [sum_n, Lp] code matrix (OOB-padded so the device scatter
+    drops the filler), or None when the batch has more than `cap` Ns
+    (caller falls back to the full-bitmask upload).  Ns are rare in real
+    data, so this replaces a 7-byte-per-read bitmask with a 32 KB constant."""
+    Lp = batches[0].Lp
+    pats = _padding_nmask_patterns(Lp)
+    parts = []
+    off = 0
+    for b in batches:
+        nm = b.nmask.reshape(b.lens.shape[0], -1)
+        if not np.array_equal(nm, pats[b.lens]):
+            bits = np.unpackbits(nm, axis=1, bitorder="little")[:, :Lp]
+            bits[np.arange(Lp)[None, :] >= b.lens[:, None]] = 0
+            r, c = np.nonzero(bits)
+            parts.append(off + r.astype(np.int64) * Lp + c)
+        off += b.lens.shape[0] * Lp
+    n = sum(p.size for p in parts)
+    if n > cap:
+        return None
+    out = np.full(cap, off, np.int32)
+    if n:
+        out[:n] = np.concatenate(parts)
+    return out
+
+
+def _slice_packed(b: PackedBatch, lo: int, hi: int) -> PackedBatch:
+    return PackedBatch(
+        b.packed[lo:hi], b.nmask[lo:hi], b.lens[lo:hi], b.Lp,
+        names=b.names[lo:hi] if b.names is not None else None,
+        quals=b.quals[lo:hi] if b.quals is not None else None,
+    )
+
+
+def _split_first_pair_batch(it, head: int = 65536):
+    """Re-emit a paired batch stream with a small first batch.
+
+    FLD learning runs the first batch in full per-read mode (per-read
+    fragment lengths cross the device link); capping that batch at `head`
+    pairs keeps the one-time full-mode transfer small while steady-state
+    batches stay large for the compact path."""
+    first = next(it, None)
+    if first is None:
+        return
+    b1, b2 = first
+    if b1.n > head:
+        yield _slice_packed(b1, 0, head), _slice_packed(b2, 0, head)
+        yield _slice_packed(b1, head, b1.n), _slice_packed(b2, head, b2.n)
+    else:
+        yield first
+    yield from it
+
+
+def _uniform_len(*batches) -> Optional[int]:
+    if not batches or batches[0].lens.size == 0:
+        return None
+    l0 = int(batches[0].lens[0])
+    for b in batches:
+        if not (b.lens == l0).all():
+            return None
+    return l0
 
 
 def _pad_pow2(n: int, lo: int = 64) -> int:
@@ -310,10 +397,28 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                     didx, b1, b2, k
                 )
                 return ("cmesh", b1, b2, r1, r2, ckstack, shard_B)
-            r1, r2, ckflat = pseudoalign_pair_compact_packed(
-                didx, b1.packed, b1.nmask, b1.lens,
-                b2.packed, b2.nmask, b2.lens, k=k, L=b1.Lp,
-            )
+            ex = _slim_exceptions((b1, b2))
+            if ex is not None:
+                rl = _uniform_len(b1, b2)
+                if rl is not None:
+                    r1, r2, ckflat = pseudoalign_pair_compact_slim(
+                        didx, b1.packed, b2.packed, ex, np.int32(rl),
+                        k=k, L=b1.Lp,
+                    )
+                elif int(b1.lens.max()) < 65536 and int(b2.lens.max()) < 65536:
+                    r1, r2, ckflat = pseudoalign_pair_compact_slim_varlen(
+                        didx,
+                        b1.packed, b1.lens.astype(np.uint16),
+                        b2.packed, b2.lens.astype(np.uint16),
+                        ex, k=k, L=b1.Lp,
+                    )
+                else:
+                    ex = None
+            if ex is None:
+                r1, r2, ckflat = pseudoalign_pair_compact_packed(
+                    didx, b1.packed, b1.nmask, b1.lens,
+                    b2.packed, b2.nmask, b2.lens, k=k, L=b1.Lp,
+                )
             return ("compact", b1, b2, r1, r2, ckflat)
         if mesh is not None:
             r1 = pseudoalign_batch_packed(
@@ -451,9 +556,24 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             if mesh is not None:
                 r1, ckstack, shard_B = mesh.single_compact(didx, b1, k)
                 return ("cmesh", b1, r1, ckstack, shard_B)
-            r1, ckflat = pseudoalign_single_compact_packed(
-                didx, b1.packed, b1.nmask, b1.lens, k=k, L=b1.Lp
-            )
+            ex = _slim_exceptions((b1,))
+            if ex is not None:
+                rl = _uniform_len(b1)
+                if rl is not None:
+                    r1, ckflat = pseudoalign_single_compact_slim(
+                        didx, b1.packed, ex, np.int32(rl), k=k, L=b1.Lp
+                    )
+                elif int(b1.lens.max()) < 65536:
+                    r1, ckflat = pseudoalign_single_compact_slim_varlen(
+                        didx, b1.packed, b1.lens.astype(np.uint16), ex,
+                        k=k, L=b1.Lp,
+                    )
+                else:
+                    ex = None
+            if ex is None:
+                r1, ckflat = pseudoalign_single_compact_packed(
+                    didx, b1.packed, b1.nmask, b1.lens, k=k, L=b1.Lp
+                )
             return ("compact", b1, r1, ckflat)
         if mesh is not None:
             r1 = pseudoalign_batch_packed(
@@ -632,17 +752,32 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 keep_names=opt.pseudobam, keep_quals=opt.pseudobam,
             )
         )
-        pending = None
+        if estimate_fld and mesh is None:
+            batch_iter = _split_first_pair_batch(batch_iter)
+        # pipelined loop, depth 2: two batches in flight (uploading /
+        # computing) while the oldest resolves on host -- keeps the
+        # host->device link busy end to end.  While FLD learning is active
+        # the pipeline drains first so the want_fld decision sees fresh
+        # tlencount (full mode transfers per-read data and is much slower).
+        from collections import deque
+
+        pend = deque()
+
+        def _drain_one():
+            ctx = pend.popleft()
+            process_pair(ctx)
+            progress.update(ctx[1].n, num_processed)
+
         for b1, b2 in batch_iter:
+            if estimate_fld and tlencount < _FLEN_GOAL:
+                while pend:
+                    _drain_one()
             want_fld = estimate_fld and tlencount < _FLEN_GOAL
-            cur = dispatch_pair(b1, b2, want_fld)
-            if pending is not None:
-                process_pair(pending)
-                progress.update(pending[1].n, num_processed)
-            pending = cur
-        if pending is not None:
-            process_pair(pending)
-            progress.update(pending[1].n, num_processed)
+            pend.append(dispatch_pair(b1, b2, want_fld))
+            if len(pend) > 2:
+                _drain_one()
+        while pend:
+            _drain_one()
     else:
         if opt.fld_mean <= 0 or opt.fld_sd <= 0:
             raise ValueError("single-end mode requires -l and -s")  # noqa: E501 (long reads bypass via the branch above)
@@ -653,16 +788,21 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 keep_names=opt.pseudobam, keep_quals=opt.pseudobam,
             )
         )
-        pending = None
+        from collections import deque
+
+        pend = deque()
+
+        def _drain_one():
+            ctx = pend.popleft()
+            process_single(ctx)
+            progress.update(ctx[1].n, num_processed)
+
         for b1 in batch_iter:
-            cur = dispatch_single(b1)
-            if pending is not None:
-                process_single(pending)
-                progress.update(pending[1].n, num_processed)
-            pending = cur
-        if pending is not None:
-            process_single(pending)
-            progress.update(pending[1].n, num_processed)
+            pend.append(dispatch_single(b1))
+            if len(pend) > 2:
+                _drain_one()
+        while pend:
+            _drain_one()
 
     # completion summary (reference: ProcessReads.cpp:227-241)
     if opt.verbose or progress.printed:
