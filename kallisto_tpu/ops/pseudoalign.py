@@ -52,15 +52,20 @@ class DeviceIndex(NamedTuple):
 class PaddedDeviceIndex(NamedTuple):
     """Small/medium-index layout: fixed-width hash buckets.
 
-    One row gather fetches a query's whole candidate bucket (S contiguous
-    slots), so a lookup is 2 gather passes (keys row + EC row) instead of
-    ~10 -- gathers are the throughput limiter on TPU.  Memory is
-    2^p * S * 12 B; device_index_from_host falls back to the bucketed
-    binary-search layout (DeviceIndex) when that exceeds its budget.
+    TPU gathers are *transaction*-bound (~12 ns/row on v5e regardless of
+    row width up to 8x u64), so the whole bucket -- S keys and their S EC
+    values -- is packed into ONE [2S]-wide u64 row and fetched with a
+    single gather per query k-mer.  The gather runs inside a lax.map over
+    fixed-size query chunks with the match/select reduction fused into the
+    map body, so the lane-padded [chunk, 2S] gather scratch (the TPU tiler
+    pads a minor dim of 2S up to 128) never exceeds ~100 MB regardless of
+    batch size.  Memory is 2^p * 2S * 8 B; device_index_from_host falls
+    back to the bucketed binary-search layout (DeviceIndex) when that
+    exceeds its budget.
     """
 
-    bucket_keys: jnp.ndarray  # [M, S] uint64 mixed k-mers, _EMPTY_SLOT pad
-    bucket_ec: jnp.ndarray    # [M, S] int32 EC row (-1 = empty/wildcard EC)
+    bucket_rows: jnp.ndarray  # [M, 2S] uint64: S mixed keys (_EMPTY_SLOT
+    #                           pad) then S EC rows (as u64, 2^32-1 = empty)
     kmer_uid: jnp.ndarray     # [M*S] int32 (slot order)
     kmer_pos: jnp.ndarray     # [M*S] int32
     kmer_fw: jnp.ndarray      # [M*S] bool
@@ -124,13 +129,14 @@ def device_index_from_host(index):
 
     S = 1 << max(int(np.ceil(np.log2(max(int(counts.max()), 1)))), 0)
     M = 1 << p
-    if M * S * 12 <= _PADDED_BYTES_BUDGET:
+    if M * S * 16 <= _PADDED_BYTES_BUDGET:
         slot = np.arange(N, dtype=np.int64) - bucket_start[bid].astype(np.int64)
         flat = bid * S + slot
-        bucket_keys = np.full(M * S, _EMPTY_SLOT, np.uint64)
-        bucket_ec = np.full(M * S, -1, np.int32)
-        bucket_keys[flat] = mk
-        bucket_ec[flat] = kmer_ec
+        rows = np.full((M, 2 * S), _EMPTY_SLOT, np.uint64)
+        rows.reshape(-1)[flat // S * (2 * S) + flat % S] = mk
+        rows.reshape(-1)[flat // S * (2 * S) + S + flat % S] = (
+            kmer_ec.astype(np.int64).view(np.uint64) & np.uint64(0xFFFFFFFF)
+        )
 
         def scatter(a, fill):
             out = np.full(M * S, fill, a.dtype)
@@ -138,8 +144,7 @@ def device_index_from_host(index):
             return out
 
         return PaddedDeviceIndex(
-            bucket_keys=jnp.asarray(bucket_keys.reshape(M, S)),
-            bucket_ec=jnp.asarray(bucket_ec.reshape(M, S)),
+            bucket_rows=jnp.asarray(rows),
             kmer_uid=jnp.asarray(scatter(index.kmer_uid[order], -1)),
             kmer_pos=jnp.asarray(scatter(index.kmer_pos[order], -1)),
             kmer_fw=jnp.asarray(scatter(index.kmer_fw[order], False)),
@@ -167,16 +172,46 @@ def lookup_kmers(didx, canon: jnp.ndarray, valid: jnp.ndarray):
     """
     q = _mix64_jnp(jnp.where(valid, canon, 0))
     if isinstance(didx, PaddedDeviceIndex):
-        M, S = didx.bucket_keys.shape
+        M, S2 = didx.bucket_rows.shape
+        S = S2 // 2
         p = int(np.log2(M) + 0.5)
-        b = (q >> jnp.uint64(64 - p)).astype(jnp.int32)
-        keys = jnp.take(didx.bucket_keys, b, axis=0)    # [..., S] one gather
-        ecs = jnp.take(didx.bucket_ec, b, axis=0)       # [..., S] one gather
-        match = keys == q[..., None]
-        hit = valid & jnp.any(match, axis=-1)
-        j = jnp.argmax(match, axis=-1)
-        ec = jnp.where(hit, jnp.sum(jnp.where(match, ecs, 0), axis=-1), -1)
-        idx = b.astype(jnp.int64) * S + j
+
+        def probe(qc):
+            # ONE row gather fetches the whole bucket (keys + ECs); the
+            # compare/select reduction fuses into the gather's consumer so
+            # the lane-padded [chunk, 2S] scratch stays chunk-sized
+            b = (qc >> jnp.uint64(64 - p)).astype(jnp.int32)
+            rows = didx.bucket_rows[b]               # [chunk, 2S]
+            match = rows[:, :S] == qc[:, None]
+            hitc = jnp.any(match, axis=-1)
+            meta = jnp.sum(
+                jnp.where(match, rows[:, S:], jnp.uint64(0)), axis=-1
+            )
+            ecc = jax.lax.bitcast_convert_type(
+                meta.astype(jnp.uint32), jnp.int32
+            )
+            j = jnp.argmax(match, axis=-1)
+            idxc = b.astype(jnp.int64) * S + j.astype(jnp.int64)
+            return idxc, hitc, ecc
+
+        shape = q.shape
+        qf = q.reshape(-1)
+        n = qf.shape[0]
+        C = 1 << 17
+        if n <= C:
+            idx, hit, ec = probe(qf)
+        else:
+            nc = -(-n // C)
+            qp = jnp.concatenate(
+                [qf, jnp.zeros(nc * C - n, qf.dtype)]
+            ).reshape(nc, C)
+            idx, hit, ec = jax.lax.map(probe, qp)
+            idx = idx.reshape(-1)[:n]
+            hit = hit.reshape(-1)[:n]
+            ec = ec.reshape(-1)[:n]
+        idx = idx.reshape(shape)
+        hit = valid & hit.reshape(shape)
+        ec = jnp.where(hit, ec.reshape(shape), -1)
         return idx, hit, ec
     p = int(np.log2(didx.bucket_start.shape[0] - 1) + 0.5)
     b = (q >> jnp.uint64(64 - p)).astype(jnp.int32)
@@ -307,18 +342,26 @@ def _pseudoalign_core(
 
     idx, hit, ec_row = lookup_kmers(didx, canon, valid)
 
-    # distinct non-empty EC rows per read: sort, mask repeats, compact
+    # distinct non-empty EC rows per read, sorted ascending: R rounds of
+    # masked min-reduction along the window axis.  Replaces two [B, W]
+    # axis-1 sorts, whose TPU lowering allocates lane-padded scratch ~5x
+    # the data and caps the batch size.
     rows = jnp.where(hit & (ec_row >= 0), ec_row, INT32_MAX)
-    rows = jnp.sort(rows, axis=1)
-    isnew = jnp.concatenate(
-        [jnp.ones((B, 1), bool), rows[:, 1:] != rows[:, :-1]], axis=1
-    ) & (rows != INT32_MAX)
-    uniq = jnp.where(isnew, rows, INT32_MAX)
-    uniq = jnp.sort(uniq, axis=1)[:, :R]
-    n_rows = jnp.sum(isnew, axis=1).astype(jnp.int32)
+    slots = []
+    prev = jnp.full((B,), -1, jnp.int32)
+    for _ in range(R):
+        cur = jnp.min(
+            jnp.where(rows > prev[:, None], rows, INT32_MAX), axis=1
+        )
+        slots.append(cur)
+        prev = jnp.where(cur != INT32_MAX, cur, prev)
+    uniq = jnp.stack(slots, axis=1)
+    n_rows = jnp.sum(uniq != INT32_MAX, axis=1).astype(jnp.int32)
 
     has_hits = jnp.any(hit, axis=1)
-    overflow = n_rows > R
+    overflow = jnp.any(
+        (rows > prev[:, None]) & (rows != INT32_MAX), axis=1
+    )
 
     # first matched k-mer (leftmost read position)
     first = jnp.argmax(hit, axis=1)

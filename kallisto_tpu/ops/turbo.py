@@ -1,0 +1,135 @@
+"""Turbo steady-state pseudoalignment step: huge bucketed batches.
+
+The steady-state quant/bus hot path dispatches batches of ~1M pairs.  Two
+things distinguish these kernels from the legacy compact ones
+(ops/pseudoalign.py pseudoalign_*_compact_*), which they otherwise share
+all device code with:
+
+- **aux vector** instead of per-array variation: one int32x8-packed int64
+  vector carries the uniform read length, the real-read count (batches are
+  padded up to bucketed power-of-two sizes so jit shapes stay stable --
+  padded reads get length 0, produce the no-hit key and are never
+  counted), and the sparse in-read N positions (a 7-byte/read N bitmask
+  replaced by a short exception list; Ns are rare in real data).
+- **bigger key-histogram cap** (max_keys=32768), sized for million-pair
+  batches.
+
+The heavy lifting -- single-row-gather bucket probes chunked under
+lax.map, min-extraction distinct-row compaction -- lives in
+_pseudoalign_core/lookup_kmers and is shared with every other path.
+
+Semantics are identical to the reference's --no-jump evaluation of every
+k-mer (reference: src/KmerIndex.cpp:1698-1940; the jump/skip heuristics
+are a CPU latency optimization with the same EC intersection).
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pseudoalign import (
+    SideResult,
+    _ck_flat,
+    _codes_from_packed,
+    _pseudoalign_core,
+    compact_pair_keys,
+    compact_single_keys,
+)
+
+AUX_HEADER = 4
+EXC_CAP = 65536
+
+
+def make_aux(
+    n_real: int,
+    rlen: int,
+    exc: Optional[np.ndarray],
+    cap: int = EXC_CAP,
+) -> Optional[np.ndarray]:
+    """Host-side aux vector: [rlen, n_real, 0, 0, exc..., sentinel pad].
+
+    exc are flattened indices into the row-major concatenated
+    [n_sides * Bp, Lp] code matrix; returns None when they exceed cap
+    (caller falls back to the legacy bitmask path).
+    """
+    n = 0 if exc is None else int(exc.shape[0])
+    if n > cap:
+        return None
+    aux = np.full(AUX_HEADER + cap, np.iinfo(np.int64).max, np.int64)
+    aux[0] = rlen
+    aux[1] = n_real
+    aux[2] = 0
+    aux[3] = 0
+    if n:
+        aux[AUX_HEADER : AUX_HEADER + n] = exc
+    return aux
+
+
+def _codes_and_lens(packed_sides, aux, lens, L: int):
+    """Unpack packed mates, scatter N markers, build masked lens vector."""
+    B = packed_sides[0].shape[0]
+    ns = len(packed_sides)
+    codes = jnp.concatenate(
+        [_codes_from_packed(p, L) for p in packed_sides], axis=0
+    )
+    exc = aux[AUX_HEADER:]
+    codes = (
+        codes.reshape(-1)
+        .at[exc]
+        .set(jnp.uint8(4), mode="drop")
+        .reshape(ns * B, L)
+    )
+    n_real = aux[1].astype(jnp.int32)
+    side_idx = jnp.arange(B * ns, dtype=jnp.int32) % B
+    if lens is None:
+        lens_v = jnp.where(side_idx < n_real, aux[0].astype(jnp.int32), 0)
+    else:
+        lens_v = jnp.where(side_idx < n_real, lens.astype(jnp.int32), 0)
+    return codes, lens_v
+
+
+def pair_turbo_core(didx, p1, p2, aux, lens, k: int, L: int,
+                    max_rows: int, max_keys: int):
+    """Shared traced body (usable per-shard under shard_map)."""
+    B = p1.shape[0]
+    codes, lens_v = _codes_and_lens((p1, p2), aux, lens, L)
+    r = _pseudoalign_core(didx, codes, lens_v, k, max_rows)
+    r1 = SideResult(*(a[:B] for a in r))
+    r2 = SideResult(*(a[B:] for a in r))
+    ck = compact_pair_keys(r1, r2, max_keys)
+    return r1, r2, _ck_flat(ck)
+
+
+@partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
+def pseudoalign_pair_turbo(didx, p1, p2, aux, k: int, L: int,
+                           max_rows: int = 16, max_keys: int = 32768):
+    return pair_turbo_core(didx, p1, p2, aux, None, k, L, max_rows, max_keys)
+
+
+@partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
+def pseudoalign_pair_turbo_varlen(didx, p1, p2, aux, lens, k: int, L: int,
+                                  max_rows: int = 16, max_keys: int = 32768):
+    return pair_turbo_core(didx, p1, p2, aux, lens, k, L, max_rows, max_keys)
+
+
+def single_turbo_core(didx, p1, aux, lens, k: int, L: int,
+                      max_rows: int, max_keys: int):
+    codes, lens_v = _codes_and_lens((p1,), aux, lens, L)
+    r1 = _pseudoalign_core(didx, codes, lens_v, k, max_rows)
+    ck = compact_single_keys(r1, max_keys)
+    return r1, _ck_flat(ck)
+
+
+@partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
+def pseudoalign_single_turbo(didx, p1, aux, k: int, L: int,
+                             max_rows: int = 16, max_keys: int = 32768):
+    return single_turbo_core(didx, p1, aux, None, k, L, max_rows, max_keys)
+
+
+@partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
+def pseudoalign_single_turbo_varlen(didx, p1, aux, lens, k: int, L: int,
+                                    max_rows: int = 16, max_keys: int = 32768):
+    return single_turbo_core(didx, p1, aux, lens, k, L, max_rows, max_keys)

@@ -39,6 +39,13 @@ from ..ops.pseudoalign import (
     single_key_hash,
     unflatten_ck_host,
 )
+from ..ops.turbo import (
+    make_aux,
+    pseudoalign_pair_turbo,
+    pseudoalign_pair_turbo_varlen,
+    pseudoalign_single_turbo,
+    pseudoalign_single_turbo_varlen,
+)
 from .bias import NUM_6MERS, TranscriptHexamers, update_eff_lens
 from .ecmap import EcResolver
 from .em import EmResult, build_em_problem, counts_to_tpm, run_em
@@ -136,6 +143,7 @@ class _SideArrays:
 
 
 _EXC_CAP = 8192  # max sparse N positions per batch on the slim upload path
+_FALLBACK_CAP = 1 << 17  # max reads per legacy-kernel slice (memory bound)
 _pad_pats: dict = {}
 
 
@@ -179,6 +187,52 @@ def _slim_exceptions(batches, cap: int = _EXC_CAP) -> Optional[np.ndarray]:
     if n:
         out[:n] = np.concatenate(parts)
     return out
+
+
+def _bucket_size(n: int, lo: int = 8192) -> int:
+    """Round a batch size up to a power of two (bounded shape count ->
+    bounded jit compilations; padded reads are masked via the aux vector)."""
+    p = lo
+    while p < n:
+        p <<= 1
+    return p
+
+
+def _pad_rows(a: np.ndarray, Bp: int) -> np.ndarray:
+    if a.shape[0] == Bp:
+        return a
+    pad = np.zeros((Bp - a.shape[0],) + a.shape[1:], a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def _turbo_exceptions(batches, Bp: int) -> Optional[np.ndarray]:
+    """Raw in-read N positions as flat indices into the PADDED concatenated
+    [len(batches)*Bp, Lp] code matrix (None = too many; caller falls back).
+
+    Padding rows need no exceptions: the aux n_real field zeroes their
+    lengths on device.
+    """
+    from ..ops.turbo import EXC_CAP
+
+    Lp = batches[0].Lp
+    pats = _padding_nmask_patterns(Lp)
+    parts = []
+    total = 0
+    for s, b in enumerate(batches):
+        nm = b.nmask.reshape(b.lens.shape[0], -1)
+        if not np.array_equal(nm, pats[b.lens]):
+            bits = np.unpackbits(nm, axis=1, bitorder="little")[:, :Lp]
+            bits[np.arange(Lp)[None, :] >= b.lens[:, None]] = 0
+            r, c = np.nonzero(bits)
+            parts.append(
+                (s * Bp + r.astype(np.int64)) * Lp + c
+            )
+            total += parts[-1].size
+            if total > EXC_CAP:
+                return None
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.concatenate(parts)
 
 
 def _slice_packed(b: PackedBatch, lo: int, hi: int) -> PackedBatch:
@@ -397,29 +451,41 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                     didx, b1, b2, k
                 )
                 return ("cmesh", b1, b2, r1, r2, ckstack, shard_B)
-            ex = _slim_exceptions((b1, b2))
-            if ex is not None:
+            # -- turbo steady state: [W, B]-layout kernel, bucketed batch
+            # sizes, sparse-N slim upload (ops/turbo.py)
+            Bp = _bucket_size(b1.n)
+            exc = _turbo_exceptions((b1, b2), Bp)
+            if exc is not None:
                 rl = _uniform_len(b1, b2)
-                if rl is not None:
-                    r1, r2, ckflat = pseudoalign_pair_compact_slim(
-                        didx, b1.packed, b2.packed, ex, np.int32(rl),
-                        k=k, L=b1.Lp,
+                aux = make_aux(b1.n, rl or 0, exc)
+                if aux is not None and rl is not None:
+                    r1, r2, ckflat = pseudoalign_pair_turbo(
+                        didx, _pad_rows(b1.packed, Bp),
+                        _pad_rows(b2.packed, Bp), aux, k=k, L=b1.Lp,
                     )
-                elif int(b1.lens.max()) < 65536 and int(b2.lens.max()) < 65536:
-                    r1, r2, ckflat = pseudoalign_pair_compact_slim_varlen(
-                        didx,
-                        b1.packed, b1.lens.astype(np.uint16),
-                        b2.packed, b2.lens.astype(np.uint16),
-                        ex, k=k, L=b1.Lp,
+                    return ("turbo", b1, b2, r1, r2, ckflat)
+                if (aux is not None and int(b1.lens.max()) < 65536
+                        and int(b2.lens.max()) < 65536):
+                    lens = np.concatenate([
+                        _pad_rows(b1.lens.astype(np.uint16), Bp),
+                        _pad_rows(b2.lens.astype(np.uint16), Bp),
+                    ])
+                    r1, r2, ckflat = pseudoalign_pair_turbo_varlen(
+                        didx, _pad_rows(b1.packed, Bp),
+                        _pad_rows(b2.packed, Bp), aux, lens, k=k, L=b1.Lp,
                     )
-                else:
-                    ex = None
-            if ex is None:
-                r1, r2, ckflat = pseudoalign_pair_compact_packed(
-                    didx, b1.packed, b1.nmask, b1.lens,
-                    b2.packed, b2.nmask, b2.lens, k=k, L=b1.Lp,
+                    return ("turbo", b1, b2, r1, r2, ckflat)
+            # N-dense batch: legacy bitmask kernel in memory-bounded slices
+            subs = []
+            for lo in range(0, b1.n, _FALLBACK_CAP):
+                hi = min(lo + _FALLBACK_CAP, b1.n)
+                sb1, sb2 = _slice_packed(b1, lo, hi), _slice_packed(b2, lo, hi)
+                sr1, sr2, sck = pseudoalign_pair_compact_packed(
+                    didx, sb1.packed, sb1.nmask, sb1.lens,
+                    sb2.packed, sb2.nmask, sb2.lens, k=k, L=sb1.Lp,
                 )
-            return ("compact", b1, b2, r1, r2, ckflat)
+                subs.append(("compact", sb1, sb2, sr1, sr2, sck))
+            return ("multi", b1, subs)
         if mesh is not None:
             r1 = pseudoalign_batch_packed(
                 didx, *mesh.put_batch(b1), k=k, L=b1.Lp
@@ -437,6 +503,40 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
 
     def process_pair(ctx):
         nonlocal num_processed, tlencount, bias_total
+        if ctx[0] == "multi":
+            for sub in ctx[2]:
+                process_pair(sub)
+            return
+        if ctx[0] == "turbo":
+            _, b1, b2, r1, r2, ckflat = ctx
+            uniq_h, occ, first_idx, flags, n_uniq = unflatten_ck_host(
+                np.asarray(ckflat)
+            )
+            K = occ.shape[0]
+            if n_uniq <= K and not (flags[occ > 0] & 12).any():
+                s1, s2 = _SideArrays(r1), _SideArrays(r2)
+                resolver.process_compact(
+                    uniq_h, occ, first_idx,
+                    _make_pair_fetcher(r1, r2, s1, s2),
+                    int(r1.rows.shape[1]), paired=True,
+                    do_union=opt.do_union,
+                )
+                num_processed += b1.n
+                return
+            # rare: a read exceeded R distinct rows or the batch exceeded K
+            # distinct keys -- redo this batch through the legacy per-read
+            # path in memory-bounded slices
+            for lo in range(0, b1.n, _FALLBACK_CAP):
+                hi = min(lo + _FALLBACK_CAP, b1.n)
+                sb1 = _slice_packed(b1, lo, hi)
+                sb2 = _slice_packed(b2, lo, hi)
+                sr1 = _dispatch_side(didx, sb1, k)
+                sr2 = _dispatch_side(didx, sb2, k)
+                process_pair(
+                    ("full", sb1, sb2, sr1, sr2,
+                     pair_key_hash(sr1, sr2), None, None)
+                )
+            return
         if ctx[0] == "cmesh":
             # deterministic multi-device merge: walk shard histograms in
             # mesh order == read order (the TPU-native replacement for
@@ -556,25 +656,32 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             if mesh is not None:
                 r1, ckstack, shard_B = mesh.single_compact(didx, b1, k)
                 return ("cmesh", b1, r1, ckstack, shard_B)
-            ex = _slim_exceptions((b1,))
-            if ex is not None:
+            Bp = _bucket_size(b1.n)
+            exc = _turbo_exceptions((b1,), Bp)
+            if exc is not None:
                 rl = _uniform_len(b1)
-                if rl is not None:
-                    r1, ckflat = pseudoalign_single_compact_slim(
-                        didx, b1.packed, ex, np.int32(rl), k=k, L=b1.Lp
+                aux = make_aux(b1.n, rl or 0, exc)
+                if aux is not None and rl is not None:
+                    r1, ckflat = pseudoalign_single_turbo(
+                        didx, _pad_rows(b1.packed, Bp), aux, k=k, L=b1.Lp
                     )
-                elif int(b1.lens.max()) < 65536:
-                    r1, ckflat = pseudoalign_single_compact_slim_varlen(
-                        didx, b1.packed, b1.lens.astype(np.uint16), ex,
+                    return ("turbo", b1, r1, ckflat)
+                if aux is not None and int(b1.lens.max()) < 65536:
+                    r1, ckflat = pseudoalign_single_turbo_varlen(
+                        didx, _pad_rows(b1.packed, Bp), aux,
+                        _pad_rows(b1.lens.astype(np.uint16), Bp),
                         k=k, L=b1.Lp,
                     )
-                else:
-                    ex = None
-            if ex is None:
-                r1, ckflat = pseudoalign_single_compact_packed(
-                    didx, b1.packed, b1.nmask, b1.lens, k=k, L=b1.Lp
+                    return ("turbo", b1, r1, ckflat)
+            subs = []
+            for lo in range(0, b1.n, _FALLBACK_CAP):
+                hi = min(lo + _FALLBACK_CAP, b1.n)
+                sb1 = _slice_packed(b1, lo, hi)
+                sr1, sck = pseudoalign_single_compact_packed(
+                    didx, sb1.packed, sb1.nmask, sb1.lens, k=k, L=sb1.Lp
                 )
-            return ("compact", b1, r1, ckflat)
+                subs.append(("compact", sb1, sr1, sck))
+            return ("multi", b1, subs)
         if mesh is not None:
             r1 = pseudoalign_batch_packed(
                 didx, *mesh.put_batch(b1), k=k, L=b1.Lp
@@ -589,6 +696,33 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
 
     def process_single(ctx):
         nonlocal num_processed, bias_total
+        if ctx[0] == "multi":
+            for sub in ctx[2]:
+                process_single(sub)
+            return
+        if ctx[0] == "turbo":
+            _, b1, r1, ckflat = ctx
+            uniq_h, occ, first_idx, flags, n_uniq = unflatten_ck_host(
+                np.asarray(ckflat)
+            )
+            if n_uniq <= occ.shape[0] and not (flags[occ > 0] & 12).any():
+                s1 = _SideArrays(r1)
+                resolver.process_compact(
+                    uniq_h, occ, first_idx,
+                    _make_single_fetcher(r1, s1),
+                    int(r1.rows.shape[1]), paired=False,
+                    do_union=opt.do_union,
+                )
+                num_processed += b1.n
+                return
+            for lo in range(0, b1.n, _FALLBACK_CAP):
+                hi = min(lo + _FALLBACK_CAP, b1.n)
+                sb1 = _slice_packed(b1, lo, hi)
+                sr1 = _dispatch_side(didx, sb1, k)
+                process_single(
+                    ("full", sb1, sr1, single_key_hash(sr1), None)
+                )
+            return
         if ctx[0] == "cmesh":
             _, b1, r1, ckstack, shard_B = ctx
             ck = np.asarray(ckstack)
