@@ -27,6 +27,13 @@ def _build() -> None:
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
         _SRC, "-o", _LIB, "-lz", "-pthread",
     ]
+    # AVX2 pack fast path when the build host supports it (the fallback
+    # scalar loop compiles everywhere)
+    try:
+        if "avx2" in open("/proc/cpuinfo").read():
+            cmd.insert(1, "-mavx2")
+    except OSError:
+        pass
     subprocess.run(cmd, check=True, capture_output=True)
 
 

@@ -18,6 +18,10 @@
 
 #include <zlib.h>
 
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -178,13 +182,56 @@ std::unique_ptr<Batch> parse_batch(Reader* r) {
   b->nmask.assign((size_t)b->n * nb, 0);
   b->lens.resize(b->n);
   const uint8_t* ct = code_table();
+#ifdef __AVX2__
+  // AVX2 fast path: 32 bases per iteration.  Codes come from a low-nibble
+  // shuffle LUT (A->0 C->1 G->2 T->3, case-insensitive since upper/lower
+  // share low nibbles); validity is an exact byte compare against the 8
+  // accepted letters; 2-bit packing is two multiply-add reductions.
+  const __m256i nib_lut = _mm256_setr_epi8(
+      //            A     C        G                          T
+      0, 0 /*A*/, 0, 1 /*C*/, 3 /*T? no: idx*/, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0, 1, 3, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0);
+  // low nibbles: A/a=0x1 -> 0, C/c=0x3 -> 1, G/g=0x7 -> 2, T/t=0x4 -> 3
+  const __m256i lower = _mm256_set1_epi8(0x20);
+  const __m256i ca = _mm256_set1_epi8('a');
+  const __m256i cc = _mm256_set1_epi8('c');
+  const __m256i cg = _mm256_set1_epi8('g');
+  const __m256i ctt = _mm256_set1_epi8('t');
+  const __m256i nibmask = _mm256_set1_epi8(0x0F);
+  const __m256i w14 = _mm256_set1_epi16(0x0401);   // bytes [1, 4] per pair
+  const __m256i w116 = _mm256_set1_epi32(0x00100001);  // u16 [1, 16]
+#endif
   for (int32_t i = 0; i < b->n; i++) {
     const uint8_t* s = seqbuf.data() + seqs[i].first;
     const int32_t len = seqs[i].second;
     b->lens[i] = len;
     uint8_t* pk = b->packed.data() + (size_t)i * pb;
     uint8_t* nm = b->nmask.data() + (size_t)i * nb;
-    for (int32_t j = 0; j < len; j++) {
+    int32_t j = 0;
+#ifdef __AVX2__
+    for (; j + 32 <= len; j += 32) {
+      __m256i v = _mm256_loadu_si256((const __m256i*)(s + j));
+      __m256i lo = _mm256_or_si256(v, lower);
+      __m256i ok = _mm256_or_si256(
+          _mm256_or_si256(_mm256_cmpeq_epi8(lo, ca), _mm256_cmpeq_epi8(lo, cc)),
+          _mm256_or_si256(_mm256_cmpeq_epi8(lo, cg), _mm256_cmpeq_epi8(lo, ctt)));
+      __m256i code = _mm256_shuffle_epi8(nib_lut, _mm256_and_si256(v, nibmask));
+      code = _mm256_and_si256(code, ok);  // invalid -> 0 in packed
+      // 32 x 2-bit -> 8 bytes: (c0 + 4*c1) per byte pair, then + 16*(..)
+      __m256i p16 = _mm256_maddubs_epi16(code, w14);   // 16 x u16
+      __m256i p32 = _mm256_madd_epi16(p16, w116);      // 8 x u32 (one byte)
+      // narrow 8 u32 -> 8 bytes
+      __m128i lo128 = _mm256_castsi256_si128(p32);
+      __m128i hi128 = _mm256_extracti128_si256(p32, 1);
+      __m128i b16 = _mm_packus_epi32(lo128, hi128);    // 8 x u16
+      __m128i b8 = _mm_packus_epi16(b16, b16);         // 8 bytes (x2)
+      uint64_t packed8 = (uint64_t)_mm_cvtsi128_si64(b8);
+      memcpy(pk + (j >> 2), &packed8, 8);
+      uint32_t bad = ~(uint32_t)_mm256_movemask_epi8(ok);
+      memcpy(nm + (j >> 3), &bad, 4);
+    }
+#endif
+    for (; j < len; j++) {
       uint8_t c = ct[s[j]];
       if (c == 4) {
         nm[j >> 3] |= (uint8_t)(1u << (j & 7));
@@ -192,7 +239,8 @@ std::unique_ptr<Batch> parse_batch(Reader* r) {
         pk[j >> 2] |= (uint8_t)(c << ((j & 3) * 2));
       }
     }
-    for (int32_t j = len; j < Lp; j++) nm[j >> 3] |= (uint8_t)(1u << (j & 7));
+    for (int32_t j2 = len; j2 < Lp; j2++)
+      nm[j2 >> 3] |= (uint8_t)(1u << (j2 & 7));
   }
   if (r->keep_names) {
     b->names = std::move(names);
