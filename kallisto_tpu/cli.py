@@ -137,8 +137,17 @@ def _cmd_bus(args):
         print("List of supported single-cell technologies\n\nshort name\n%s"
               % "\n".join(TECHNOLOGY_LIST))
         return
-    if not args.technology:
-        sys.exit("Error: need to specify technology to use")
+    if not args.technology and not args.batch:
+        # reference: without -x, only batch/bulk modes are valid
+        # (src/main.cpp:1056-1059)
+        sys.exit('Error: the technology must be specified via -x, use "bulk" '
+                 "for regular RNA-seq reads")
+    if args.batch and args.reads:
+        sys.exit("Error: cannot specify batch mode and supply read files")
+    if args.num and args.bam:
+        sys.exit("Error: --num is incompatible with --bam")
+    if not args.batch and not args.reads:
+        sys.exit("Error: Missing read files")
 
     strand = None
     if args.fr_stranded:
@@ -157,6 +166,18 @@ def _cmd_bus(args):
         bus_num=args.num,
         max_num_reads=args.num_reads,
         aa=args.aa,
+        batch_file=args.batch or "",
+        batch_barcodes=args.batch_barcodes,
+        inleaved=args.inleaved,
+        tag=args.tag or "",
+        bam=args.bam,
+        long_read=args.long,
+        threshold=args.threshold,
+        dfk_onlist=args.dfk_onlist,
+        do_union=args.union,
+        no_jump=args.no_jump,
+        verbose=args.verbose,
+        threads=args.threads,
         call=" ".join(sys.argv),
     )
     res = run_bus(opt)
@@ -292,6 +313,9 @@ def main(argv=None):
     p.add_argument("-o", "--output-dir", required=True)
     p.add_argument("-x", "--technology", default="")
     p.add_argument("-l", "--list", action="store_true")
+    p.add_argument("-B", "--batch", default=None)
+    p.add_argument("-b", "--bam", action="store_true")
+    p.add_argument("-T", "--tag", default=None)
     p.add_argument("--aa", action="store_true")
     p.add_argument("-n", "--num", action="store_true")
     p.add_argument("-N", "--numReads", type=int, default=0, dest="num_reads")
@@ -301,7 +325,16 @@ def main(argv=None):
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("--single", action="store_true", dest="single_end")
     p.add_argument("--paired", action="store_true", dest="bus_paired")
-    p.add_argument("reads", nargs="+")
+    p.add_argument("--long", action="store_true")
+    p.add_argument("-r", "--threshold", type=float, default=0.8)
+    p.add_argument("-P", "--platform", default="")
+    p.add_argument("--inleaved", action="store_true")
+    p.add_argument("--batch-barcodes", action="store_true")
+    p.add_argument("--dfk-onlist", action="store_true")
+    p.add_argument("--union", action="store_true")
+    p.add_argument("--no-jump", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("reads", nargs="*")
     p.set_defaults(fn=_cmd_bus)
 
     p = sub.add_parser("quant-tcc", help="quantify from transcript-compatibility counts")

@@ -77,6 +77,12 @@ class Options:
     bus_num: bool = False           # bus -n: read number in BUS flags column
     max_num_reads: int = 0          # bus -N: cap on reads processed
     unstranded: bool = False
+    # bus input surface (reference: ParseOptionsBus, src/main.cpp:545-800)
+    batch_file: str = ""            # -B: per-batch file list
+    batch_barcodes: bool = False    # --batch-barcodes
+    inleaved: bool = False          # --inleaved interleaved FASTQ
+    tag: str = ""                   # -T: 5' UMI tag sequence
+    bam: bool = False               # -b: BAM input
     genomebam: bool = False
     pseudobam: bool = False
     gtf_file: str = ""

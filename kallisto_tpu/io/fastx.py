@@ -65,6 +65,7 @@ class ReadBatch:
     lens: np.ndarray
     names: Optional[List[bytes]] = None
     quals: Optional[np.ndarray] = None
+    comments: Optional[List[bytes]] = None  # FASTQ header after first space
 
     @property
     def n(self) -> int:
@@ -79,10 +80,12 @@ class FastqStream:
     matrix.  Orders of magnitude faster than per-record Python loops.
     """
 
-    def __init__(self, path: str, keep_names: bool = False, keep_quals: bool = False):
+    def __init__(self, path: str, keep_names: bool = False,
+                 keep_quals: bool = False, keep_comments: bool = False):
         self.path = path
         self.keep_names = keep_names
         self.keep_quals = keep_quals
+        self.keep_comments = keep_comments
         self._fh = _open_maybe_gz(path)
         self._tail = b""
         self._eof = False
@@ -137,7 +140,19 @@ class FastqStream:
         quals = None
         if self.keep_quals:
             quals = lines[3::4]
-        return ReadBatch(codes=buf, lens=lens, names=names, quals=quals)
+        comments = None
+        if self.keep_comments:
+            # kseq semantics: comment = header after the first whitespace
+            # (reference: FastqSequenceReader comments path,
+            # src/ProcessReads.cpp:3216-3245)
+            comments = []
+            for ln in lines[0::4]:
+                sp = ln.find(b" ")
+                tb = ln.find(b"\t")
+                cut = min(x for x in (sp, tb, len(ln)) if x >= 0)
+                comments.append(ln[cut + 1:] if cut < len(ln) else b"")
+        return ReadBatch(codes=buf, lens=lens, names=names, quals=quals,
+                         comments=comments)
 
 
 def paired_batches(
@@ -164,9 +179,10 @@ def paired_batches(
 
 def single_batches(
     path: str, batch_reads: int, keep_names: bool = False,
-    keep_quals: bool = False,
+    keep_quals: bool = False, keep_comments: bool = False,
 ) -> Iterator[ReadBatch]:
-    s = FastqStream(path, keep_names=keep_names, keep_quals=keep_quals)
+    s = FastqStream(path, keep_names=keep_names, keep_quals=keep_quals,
+                    keep_comments=keep_comments)
     try:
         while True:
             b = s.next_batch(batch_reads)

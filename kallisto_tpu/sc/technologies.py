@@ -22,6 +22,10 @@ class BusOptions:
     bc: List[Substr]
     paired: bool = False
     strand: Optional[str] = None     # implied default strandedness
+    # custom `-x bc:RX:seq` strings: the UMI lives in the FASTQ comment as an
+    # RX:Z: SAM tag (reference: src/main.cpp:857-859, BUSOptions
+    # keep_fastq_comments, src/common.h:47)
+    keep_fastq_comments: bool = False
 
     def bc_length(self) -> int:
         """Total fixed barcode length, 0 if any piece is open-ended
@@ -164,11 +168,14 @@ def parse_technology(
         return [tuple(nums[i : i + 3]) for i in range(0, len(nums), 3)]
 
     bc = parse_section(sections[0])
-    umi = parse_section(sections[1])
+    # `RX` as the UMI section: extract the UMI from the RX:Z: SAM tag in the
+    # FASTQ comment (reference: src/main.cpp:857-859)
+    keep_comments = sections[1].strip().upper() == "RX"
+    umi = [(-1, -1, -1)] if keep_comments else parse_section(sections[1])
     seq = parse_section(sections[2])
     nfiles = max(f for sub in (bc + umi + seq) for f in [sub[0]]) + 1
     paired = paired_override or (len(seq) == 2 and not single_end)
     return BusOptions(
         nfiles=nfiles, seq=seq, umi=umi, bc=bc, paired=paired,
-        strand=strand_override,
+        strand=strand_override, keep_fastq_comments=keep_comments,
     )

@@ -46,6 +46,7 @@ def test_distinguish_bus_byte_exact(data_dir, golden_dir, tmp_path, fasta, golde
         output_dir=out,
         technology="bulk",
         bus_num=True,
+        single_end=True,
         k=7,
     )
     run_bus(opt, index=index)
