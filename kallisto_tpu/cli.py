@@ -236,17 +236,38 @@ def _cmd_h5dump(args):
 
 
 def _cmd_inspect(args):
+    """Reference-parity index inspection (reference: InspectIndex,
+    src/Inspect.h:120-140 + the KmerIndex::load prologue)."""
+    import numpy as np
+
+    from .common import REFERENCE_INDEX_VERSION
     from .index import load_index
 
     index = load_index(args.index)
-    print(f"[inspect] index version: tpu-{index.format_version}")
-    print(f"[inspect] k-mer length: {index.k}")
-    print(f"[inspect] number of targets: {index.num_trans}")
-    print(f"[inspect] number of k-mers: {index.num_kmers}")
-    print(f"[inspect] number of unitigs: {index.num_unitigs}")
-    print(f"[inspect] number of mosaic EC blocks: {index.num_blocks}")
-    print(f"[inspect] number of distinct EC rows: {index.num_ec_rows}")
-    print(f"[inspect] number of D-list k-mers: {index.dlist_keys.shape[0]}")
+    # load prologue (stderr, reference: KmerIndex.cpp load chatter)
+    print(f"[index] k-mer length: {index.k}", file=sys.stderr)
+    print(f"[index] number of targets: {index.num_trans:,}", file=sys.stderr)
+    print(f"[index] number of k-mers: {index.kmer_keys.shape[0]:,}",
+          file=sys.stderr)
+    print(f"[inspect] Index version number = {REFERENCE_INDEX_VERSION}")
+    n_unitigs = index.unitig_nkmers.shape[0]
+    print(f"[inspect] number of unitigs = {n_unitigs}")
+    # the g the reference's Bifrost build would pick for this k
+    # (reference: KmerIndex.cpp:581-593); this index uses hashed k-mer
+    # lookup, so g is informational only
+    k = index.k
+    g = k - 2 if k <= 13 else k - 4 if k <= 17 else k - 6 if k <= 19 else k - 8
+    print(f"[inspect] minimizer length = {g}")
+    # max block-EC cardinality + #unitigs whose every block EC is empty
+    # (reference: KmerIndex::getECInfo, src/KmerIndex.cpp:215-234)
+    row_len = np.diff(index.ec_ptr)
+    card = np.where(index.block_ec >= 0,
+                    row_len[np.maximum(index.block_ec, 0)], 0)
+    max_ec = int(card.max()) if card.size else 0
+    nonzero_unitigs = np.unique(index.block_uid[card > 0])
+    discarded = n_unitigs - nonzero_unitigs.shape[0]
+    print(f"[inspect] max EC size = {max_ec}")
+    print(f"[inspect] number of ECs discarded = {discarded}")
 
 
 def _cmd_deprecated(name):

@@ -1057,10 +1057,11 @@ class _BusRun:
             read_uidx, uniq_sets = self.resolver.resolve_batch_hashed(
                 h, _make_pair_fetcher(r1, r2, s1, s2),
                 int(r1.rows.shape[1]), paired=True,
+                do_union=opt.do_union,
             )
             _apply_overflow_fallback(
-                self.resolver, self.index, read_uidx, uniq_sets, False,
-                (s1, seq1), (s2, seq2),
+                self.resolver, self.index, read_uidx, uniq_sets,
+                opt.do_union, (s1, seq1), (s2, seq2),
             )
             tl = np.asarray(pair_fragment_lengths(r1, r2, k=self.k))
         else:
@@ -1070,10 +1071,11 @@ class _BusRun:
             read_uidx, uniq_sets = self.resolver.resolve_batch_hashed(
                 h, _make_single_fetcher(r1, s1),
                 int(r1.rows.shape[1]), paired=False,
+                do_union=opt.do_union,
             )
             _apply_overflow_fallback(
-                self.resolver, self.index, read_uidx, uniq_sets, False,
-                (s1, seq1), None,
+                self.resolver, self.index, read_uidx, uniq_sets,
+                opt.do_union, (s1, seq1), None,
             )
             tl = None
 

@@ -129,3 +129,27 @@ def test_sanitize_rules(tmp_path):
     # 'n' replaced via mt19937(42): first draw 1608637542 & 3 == 2 -> 'G'
     assert san.seqs[2] == "ACGTG"
     assert san.n_non_nucl == 1
+
+
+def test_inspect_reference_field_parity(tmp_path, data_dir, test_index, capsys):
+    """`inspect` prints the reference's stdout field set byte-for-byte
+    (reference: InspectIndex, src/Inspect.h:120-140; pinned against
+    /tmp/refbuild's output on the bundled transcriptome)."""
+    import contextlib
+    import io as _io
+
+    from kallisto_tpu.index import save_index
+    from kallisto_tpu.cli import main
+
+    p = str(tmp_path / "idx.npz")
+    save_index(test_index, p)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["inspect", p])
+    assert buf.getvalue() == (
+        "[inspect] Index version number = 13\n"
+        "[inspect] number of unitigs = 21\n"
+        "[inspect] minimizer length = 23\n"
+        "[inspect] max EC size = 3\n"
+        "[inspect] number of ECs discarded = 0\n"
+    )
