@@ -11,19 +11,25 @@ import os
 import sys
 
 # See bench.py: first-touch page faults are pathologically slow in some
-# sandboxes; keep glibc from returning large blocks to the kernel.
-if os.environ.get("KALLISTO_TPU_NO_MALLOC_TUNE") != "1" and os.environ.get(
-    "MALLOC_MMAP_MAX_"
-) != "0":
-    os.environ["MALLOC_MMAP_MAX_"] = "0"
-    os.environ["MALLOC_TRIM_THRESHOLD_"] = "-1"
+# sandboxes; keep glibc from returning large blocks to the kernel.  Only
+# re-exec when this module IS the program entry point -- importing cli
+# from a host process (pytest, notebooks) must never exec over it.
+def _entry_module_name() -> str:
     import __main__ as _m
 
-    if getattr(_m, "__spec__", None) and _m.__spec__ and _m.__spec__.name:
-        argv = [sys.executable, "-m", _m.__spec__.name] + sys.argv[1:]
-    else:
-        argv = [sys.executable] + sys.argv
-    os.execv(sys.executable, argv)
+    spec = getattr(_m, "__spec__", None)
+    return spec.name if spec and spec.name else ""
+
+
+if (os.environ.get("KALLISTO_TPU_NO_MALLOC_TUNE") != "1"
+        and os.environ.get("MALLOC_MMAP_MAX_") != "0"
+        and _entry_module_name().startswith("kallisto_tpu")):
+    os.environ["MALLOC_MMAP_MAX_"] = "0"
+    os.environ["MALLOC_TRIM_THRESHOLD_"] = "-1"
+    os.execv(
+        sys.executable,
+        [sys.executable, "-m", _entry_module_name()] + sys.argv[1:],
+    )
 
 
 def _cmd_version(_args):

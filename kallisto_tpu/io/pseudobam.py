@@ -51,15 +51,83 @@ class _Batch:
     f2: Optional[dict] = None
 
 
-@dataclass
 class PseudoAlnRecorder:
-    """In-memory pseudoaln.bin equivalent."""
+    """pseudoaln.bin-style disk spill of per-read pseudoalignment info.
 
-    paired: bool
-    batches: List[_Batch] = field(default_factory=list)
+    The reference streams PseudoAlignmentInfo batches to
+    output/pseudoaln.bin during read processing and replays them after the
+    EM, re-fetching the read sequences from the input FASTQs
+    (reference: src/PseudoBam.h:26-50, MasterProcessor::processAln,
+    src/ProcessReads.cpp:649-825).  Same design here: the first pass spills
+    only [read_ec + per-mate (has_hits, first-kmer payload)] -- 18/32
+    bytes/read -- and the BAM writers re-read the FASTQs on replay, so
+    peak RSS stays flat in the run length.
+    """
 
-    def add(self, **kw) -> None:
-        self.batches.append(_Batch(**kw))
+    def __init__(self, paired: bool, spill_path: str):
+        self.paired = paired
+        self.path = spill_path
+        self._f = open(spill_path, "wb")
+        self._ns: List[int] = []   # reads per spilled batch
+
+    def _side_arrays(self, f: dict):
+        return [
+            f["has_hits"].astype(np.uint8),
+            f["f_block"].astype(np.int32),
+            f["f_upos"].astype(np.int32),
+            f["f_rpos"].astype(np.int32),
+            f["f_strand"].astype(np.uint8),
+        ]
+
+    def add_compact(self, read_ec: np.ndarray, f1: dict,
+                    f2: Optional[dict] = None) -> None:
+        n = int(read_ec.shape[0])
+        self._ns.append(n)
+        arrs = [read_ec.astype(np.int32)] + self._side_arrays(f1)
+        if self.paired:
+            arrs += self._side_arrays(f2)
+        for a in arrs:
+            self._f.write(np.ascontiguousarray(a).tobytes())
+
+    def close(self) -> None:
+        if not self._f.closed:
+            self._f.close()
+
+    def _read_side(self, f, n: int) -> dict:
+        return {
+            "has_hits": np.frombuffer(f.read(n), np.uint8).astype(bool),
+            "f_block": np.frombuffer(f.read(4 * n), np.int32),
+            "f_upos": np.frombuffer(f.read(4 * n), np.int32),
+            "f_rpos": np.frombuffer(f.read(4 * n), np.int32),
+            "f_strand": np.frombuffer(f.read(n), np.uint8).astype(bool),
+        }
+
+    def iter_batches(self, read_stream):
+        """Replay: zip the spilled records with a second pass over the
+        input reads (read_stream yields per-read tuples
+        (name, codes1, qual1[, codes2, qual2])), yielding _Batch objects.
+        """
+        self.close()
+        with open(self.path, "rb") as f:
+            for n in self._ns:
+                read_ec = np.frombuffer(f.read(4 * n), np.int32)
+                f1 = self._read_side(f, n)
+                f2 = self._read_side(f, n) if self.paired else None
+                names, s1, q1 = [], [], []
+                s2: Optional[list] = [] if self.paired else None
+                q2: Optional[list] = [] if self.paired else None
+                for _ in range(n):
+                    r = next(read_stream)
+                    names.append(r[0])
+                    s1.append(r[1])
+                    q1.append(r[2])
+                    if self.paired:
+                        s2.append(r[3])
+                        q2.append(r[4])
+                yield _Batch(
+                    names=names, seq1=s1, qual1=q1, f1=f1, read_ec=read_ec,
+                    seq2=s2, qual2=q2, f2=f2,
+                )
 
 
 def _revcomp_codes(codes: np.ndarray) -> np.ndarray:
@@ -135,6 +203,7 @@ def write_pseudobam_genome(
     counts: np.ndarray,
     model,
     version: str,
+    read_stream=None,
     use_em: bool = True,
 ) -> None:
     """--genomebam: project pseudoalignments onto the genome and write a
@@ -179,7 +248,7 @@ def write_pseudobam_genome(
                        bool(flag & FUNMAP)))
         order += 1
 
-    for batch in recorder.batches:
+    for batch in recorder.iter_batches(read_stream):
         n = len(batch.names)
         for i in range(n):
             name = batch.names[i]
@@ -416,6 +485,7 @@ def write_pseudobam_trans(
     eff_lens: np.ndarray,
     counts: np.ndarray,
     version: str,
+    read_stream=None,
     use_em: bool = True,
 ) -> None:
     from ..quant.filters import _PayloadLookup
@@ -443,7 +513,7 @@ def write_pseudobam_trans(
                 -1, -1, 0, 4680, f2, -1, -1, 0, name, [], s2, q2, b""
             ))
 
-    for b in recorder.batches:
+    for b in recorder.iter_batches(read_stream):
         n = len(b.names)
         for i in range(n):
             name = b.names[i]

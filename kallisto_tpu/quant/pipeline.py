@@ -346,29 +346,51 @@ def _apply_overflow_fallback(
 
 
 def _record_pbam(pbam, b1, s1, read_ec, b2=None, s2=None):
-    """Capture one batch's pseudoalignment info for --pseudobam replay."""
-    def side(b, s):
-        return (
-            [b.row_codes(i)[: int(b.lens[i])] for i in range(b.n)],
-            list(b.quals),
-            {
-                "has_hits": s.has_hits.copy(),
-                "f_block": s.f_block.copy(),
-                "f_upos": s.f_upos.copy(),
-                "f_rpos": s.f_rpos.copy(),
-                "f_strand": s.f_strand.copy(),
-            },
-        )
+    """Spill one batch's pseudoalignment info for --pseudobam replay.
 
-    seq1, qual1, f1 = side(b1, s1)
-    kw = dict(
-        names=list(b1.names), seq1=seq1, qual1=qual1, f1=f1,
-        read_ec=read_ec.copy(),
-    )
-    if b2 is not None:
-        seq2, qual2, f2 = side(b2, s2)
-        kw.update(seq2=seq2, qual2=qual2, f2=f2)
-    pbam.add(**kw)
+    Only the compact per-read fields go to disk (pseudoaln.bin); read
+    sequences/names/qualities are re-read from the input FASTQs at replay
+    time, exactly like the reference (src/PseudoBam.h:26-50)."""
+    def side(s):
+        return {
+            "has_hits": s.has_hits,
+            "f_block": s.f_block,
+            "f_upos": s.f_upos,
+            "f_rpos": s.f_rpos,
+            "f_strand": s.f_strand,
+        }
+
+    pbam.add_compact(read_ec, side(s1), side(s2) if s2 is not None else None)
+
+
+def _pbam_read_stream(opt: Options, k: int):
+    """Second pass over the input reads for pseudobam replay: yields
+    per-read (name, codes1, qual1[, codes2, qual2]) tuples."""
+    if opt.paired:
+        file_pairs = [
+            (opt.files[i], opt.files[i + 1])
+            for i in range(0, len(opt.files), 2)
+        ]
+        for f1, f2 in file_pairs:
+            for b1, b2 in packed_paired_batches(
+                f1, f2, opt.batch_size, k, keep_names=True, keep_quals=True
+            ):
+                for i in range(b1.n):
+                    yield (
+                        b1.names[i], b1.row_codes(i)[: int(b1.lens[i])],
+                        b1.quals[i],
+                        b2.row_codes(i)[: int(b2.lens[i])], b2.quals[i],
+                    )
+    else:
+        for f in opt.files:
+            for b1 in packed_single_batches(
+                f, opt.batch_size, k, keep_names=True, keep_quals=True
+            ):
+                for i in range(b1.n):
+                    yield (
+                        b1.names[i], b1.row_codes(i)[: int(b1.lens[i])],
+                        b1.quals[i],
+                    )
 
 
 def _resolve_n_devices(opt: Options) -> int:
@@ -413,7 +435,11 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     if opt.pseudobam:
         from ..io.pseudobam import PseudoAlnRecorder
 
-        pbam = PseudoAlnRecorder(paired=paired)
+        os.makedirs(opt.output_dir or ".", exist_ok=True)
+        pbam = PseudoAlnRecorder(
+            paired=paired,
+            spill_path=os.path.join(opt.output_dir or ".", "pseudoaln.bin"),
+        )
     model = None
     if opt.genomebam:
         # reference: parse GTF (+ explicit chromosomes) up front
@@ -881,10 +907,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         batch_iter = (
             b
             for f1, f2 in file_pairs
-            for b in packed_paired_batches(
-                f1, f2, opt.batch_size, k,
-                keep_names=opt.pseudobam, keep_quals=opt.pseudobam,
-            )
+            for b in packed_paired_batches(f1, f2, opt.batch_size, k)
         )
         if estimate_fld and mesh is None:
             batch_iter = _split_first_pair_batch(batch_iter)
@@ -917,10 +940,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             raise ValueError("single-end mode requires -l and -s")  # noqa: E501 (long reads bypass via the branch above)
         batch_iter = (
             b for f in opt.files
-            for b in packed_single_batches(
-                f, opt.batch_size, k,
-                keep_names=opt.pseudobam, keep_quals=opt.pseudobam,
-            )
+            for b in packed_single_batches(f, opt.batch_size, k)
         )
         from collections import deque
 
@@ -1103,6 +1123,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 write_pseudobam_genome(
                     bam_path, index, pbam, resolver.ec_sets, em.alpha,
                     eff_lens, counts, model, KALLISTO_COMPAT_VERSION,
+                    read_stream=_pbam_read_stream(opt, k),
                 )
             else:
                 from ..io.pseudobam import write_pseudobam_trans
@@ -1110,6 +1131,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 write_pseudobam_trans(
                     bam_path, index, pbam, resolver.ec_sets, em.alpha,
                     eff_lens, counts, KALLISTO_COMPAT_VERSION,
+                    read_stream=_pbam_read_stream(opt, k),
                 )
             _log("done")
 

@@ -138,3 +138,25 @@ def test_genomebam_bai_valid(gbam_out):
     assert off + 8 == len(bai)
     assert total_chunks > 0
     assert n_no_coor > 0  # the unmapped tail
+
+
+def test_pseudoaln_spill_artifact(tmp_path, data_dir, test_index):
+    """--pseudobam spills pseudoaln.bin to the output dir (reference
+    artifact: src/PseudoBam.h:49-50) at 32 bytes/pair, instead of holding
+    reads in RAM; the BAM replay re-reads the FASTQs."""
+    import os
+
+    from kallisto_tpu.common import Options
+    from kallisto_tpu.quant.pipeline import run_quant
+
+    out = str(tmp_path / "pb")
+    opt = Options(
+        files=[os.path.join(data_dir, "reads_1.fastq.gz"),
+               os.path.join(data_dir, "reads_2.fastq.gz")],
+        output_dir=out, pseudobam=True, plaintext=True,
+    )
+    res = run_quant(opt, index=test_index)
+    spill = os.path.join(out, "pseudoaln.bin")
+    assert os.path.exists(spill)
+    assert os.path.getsize(spill) == 32 * res.num_processed
+    assert os.path.exists(os.path.join(out, "pseudoalignments.bam"))
