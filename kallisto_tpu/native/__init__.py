@@ -16,7 +16,7 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "ktio.cpp")
 _LIB = os.path.join(_HERE, "libktio.so")
-_ABI = 3
+_ABI = 4
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -55,7 +55,7 @@ def load() -> ctypes.CDLL:
         lib.ktio_open.restype = ctypes.c_void_p
         lib.ktio_open.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
         ]
         lib.ktio_next.restype = ctypes.c_int
         lib.ktio_next.argtypes = [
@@ -111,10 +111,12 @@ class NativeFastqReader:
     packing batches on a native background thread."""
 
     def __init__(self, path: str, batch_reads: int, pad_to: int = 8,
-                 min_len: int = 31, keep_names: bool = False):
+                 min_len: int = 31, keep_names: bool = False,
+                 io_threads: int = 4):
         self._lib = load()
         self._h = self._lib.ktio_open(
-            path.encode(), batch_reads, pad_to, min_len, int(keep_names)
+            path.encode(), batch_reads, pad_to, min_len, int(keep_names),
+            int(io_threads),
         )
         if not self._h:
             raise OSError(f"ktio_open failed for {path}")

@@ -5,9 +5,20 @@
 // Instead of handing char buffers to per-read CPU matching, each batch is
 // emitted directly in the device upload format: 2-bit packed base codes +
 // an N-position bitmask + lengths, padded to a static length bucket so jit
-// recompilation is rare.  A prefetch thread decompresses and packs ahead so
-// host parsing overlaps device compute (the reference overlaps via N reader
-// threads under reader_lock; here one producer per file + a bounded queue).
+// recompilation is rare.
+//
+// Decode pipeline (one per open file):
+//   source stage -> chunk queue -> parse/pack thread -> batch queue -> consumer
+// The source stage is the throughput lever:
+//   * BGZF files (bgzip/htslib framing: gzip members with the BC extra
+//     subfield carrying the compressed block size) decode BLOCK-PARALLEL:
+//     an IO thread walks the block headers (no inflation) and a pool of
+//     inflate workers decompresses blocks concurrently, reassembled in
+//     order.  Single-stream zlib tops out ~170 MB/s; N workers scale it.
+//   * plain gzip decodes on one dedicated thread (zlib is inherently
+//     serial there), still overlapped with parsing and packing.
+// The parse/pack thread (line split + AVX2 2-bit packing) sustains >4M
+// reads/s and is never the bottleneck.
 //
 // Layout contract (must match kallisto_tpu/ops/pseudoalign.py
 // pack_codes_host + quant/pipeline.py _pad_batch):
@@ -22,10 +33,13 @@
 #include <immintrin.h>
 #endif
 
+#include <algorithm>
 #include <condition_variable>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <deque>
+#include <map>
 #include <memory>
 #include <mutex>
 #include <string>
@@ -34,8 +48,10 @@
 
 namespace {
 
-constexpr size_t kChunk = 1 << 22;  // decompressed bytes per gzread
-constexpr int kQueueDepth = 3;      // batches prefetched ahead
+constexpr size_t kChunk = 1 << 22;   // decompressed bytes per plain-gzip read
+constexpr int kQueueDepth = 3;       // packed batches prefetched ahead
+constexpr int kChunkQueueDepth = 64; // decompressed chunks buffered ahead
+constexpr int kJobQueueDepth = 128;  // compressed BGZF blocks in flight
 
 struct Batch {
   std::vector<uint8_t> packed;  // [n][Lp/4]
@@ -47,36 +63,306 @@ struct Batch {
   int32_t Lp = 0;
 };
 
-struct Reader {
+// ---------------------------------------------------------------------------
+// Ordered chunk queue: decompressed byte chunks flowing to the parser.
+
+struct ChunkQueue {
+  std::mutex mu;
+  std::condition_variable cv_put, cv_get;
+  std::deque<std::vector<uint8_t>> q;
+  bool done = false;
+  bool stop = false;
+  std::string error;
+
+  void put(std::vector<uint8_t>&& c) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_put.wait(lk, [this] { return stop || (int)q.size() < kChunkQueueDepth; });
+    if (stop) return;
+    q.push_back(std::move(c));
+    cv_get.notify_one();
+  }
+  // false = clean end of stream (or error; check error string)
+  bool get(std::vector<uint8_t>& out) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_get.wait(lk, [this] { return done || stop || !q.empty(); });
+    if (q.empty()) return false;
+    out = std::move(q.front());
+    q.pop_front();
+    cv_put.notify_one();
+    return true;
+  }
+  void finish(const std::string& err = "") {
+    std::lock_guard<std::mutex> lk(mu);
+    if (!err.empty() && error.empty()) error = err;
+    done = true;
+    cv_get.notify_all();
+  }
+  void shutdown() {
+    std::lock_guard<std::mutex> lk(mu);
+    stop = true;
+    cv_put.notify_all();
+    cv_get.notify_all();
+  }
+};
+
+// ---------------------------------------------------------------------------
+// BGZF block-parallel source.
+
+struct BgzfJob {
+  uint64_t seq = 0;
+  std::vector<uint8_t> comp;   // raw deflate payload
+  uint32_t isize = 0;          // uncompressed size from the gzip trailer
+};
+
+struct BgzfSource {
+  FILE* f = nullptr;
+  int n_workers = 2;
+  ChunkQueue* out = nullptr;
+
+  std::mutex mu;
+  std::condition_variable cv_put, cv_get;
+  std::deque<std::unique_ptr<BgzfJob>> jobs;
+  bool io_done = false;
+  bool stop = false;
+  std::string error;
+
+  // reorder buffer: seq -> inflated chunk
+  std::mutex rmu;
+  std::condition_variable rcv;
+  std::map<uint64_t, std::vector<uint8_t>> ready;
+  uint64_t next_emit = 0;
+  int live_workers = 0;
+
+  std::thread io_th;
+  std::vector<std::thread> workers;
+  std::thread emit_th;
+
+  ~BgzfSource() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
+    cv_put.notify_all();
+    cv_get.notify_all();
+    {
+      std::lock_guard<std::mutex> lk(rmu);
+      rcv.notify_all();
+    }
+    if (io_th.joinable()) io_th.join();
+    for (auto& w : workers)
+      if (w.joinable()) w.join();
+    if (emit_th.joinable()) emit_th.join();
+    if (f) fclose(f);
+  }
+};
+
+// Parse one BGZF block header at the current file position; returns the
+// total block size (0 at EOF, -1 on format error) and the extra length.
+static int read_bgzf_header(FILE* f, uint8_t hdr[18], int* xlen_out,
+                            int* bsize_out) {
+  size_t got = fread(hdr, 1, 12, f);
+  if (got == 0) return 0;
+  if (got != 12 || hdr[0] != 0x1f || hdr[1] != 0x8b || hdr[2] != 8 ||
+      !(hdr[3] & 4))
+    return -1;
+  int xlen = hdr[10] | (hdr[11] << 8);
+  // scan the extra field for the BC subfield
+  int bsize = -1;
+  std::vector<uint8_t> extra(xlen);
+  if ((int)fread(extra.data(), 1, xlen, f) != xlen) return -1;
+  for (int i = 0; i + 4 <= xlen;) {
+    int slen = extra[i + 2] | (extra[i + 3] << 8);
+    if (extra[i] == 'B' && extra[i + 1] == 'C' && slen == 2)
+      bsize = (extra[i + 4] | (extra[i + 5] << 8)) + 1;
+    i += 4 + slen;
+  }
+  *xlen_out = xlen;
+  *bsize_out = bsize;
+  return bsize > 0 ? bsize : -1;
+}
+
+static void bgzf_io_loop(BgzfSource* s) {
+  uint64_t seq = 0;
+  std::string err;
+  while (true) {
+    uint8_t hdr[18];
+    int xlen = 0, bsize = 0;
+    int rc = read_bgzf_header(s->f, hdr, &xlen, &bsize);
+    if (rc == 0) break;
+    if (rc < 0) {
+      err = "bgzf: malformed block header";
+      break;
+    }
+    int payload = bsize - 12 - xlen - 8;
+    if (payload < 0) {
+      err = "bgzf: bad BSIZE";
+      break;
+    }
+    auto job = std::make_unique<BgzfJob>();
+    job->seq = seq++;
+    job->comp.resize(payload);
+    uint8_t trailer[8];
+    if ((int)fread(job->comp.data(), 1, payload, s->f) != payload ||
+        fread(trailer, 1, 8, s->f) != 8) {
+      err = "bgzf: truncated block";
+      break;
+    }
+    job->isize = (uint32_t)trailer[4] | ((uint32_t)trailer[5] << 8) |
+                 ((uint32_t)trailer[6] << 16) | ((uint32_t)trailer[7] << 24);
+    std::unique_lock<std::mutex> lk(s->mu);
+    s->cv_put.wait(lk, [s] {
+      return s->stop || (int)s->jobs.size() < kJobQueueDepth;
+    });
+    if (s->stop) return;
+    s->jobs.push_back(std::move(job));
+    s->cv_get.notify_one();
+  }
+  std::lock_guard<std::mutex> lk(s->mu);
+  s->io_done = true;
+  if (!err.empty()) s->error = err;
+  s->cv_get.notify_all();
+}
+
+static void bgzf_worker_loop(BgzfSource* s) {
+  while (true) {
+    std::unique_ptr<BgzfJob> job;
+    {
+      std::unique_lock<std::mutex> lk(s->mu);
+      s->cv_get.wait(lk, [s] {
+        return s->stop || s->io_done || !s->jobs.empty();
+      });
+      if (s->stop) return;
+      if (s->jobs.empty()) break;  // io done and drained
+      job = std::move(s->jobs.front());
+      s->jobs.pop_front();
+      s->cv_put.notify_one();
+    }
+    std::vector<uint8_t> outbuf(job->isize);
+    if (job->isize > 0) {
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      inflateInit2(&zs, -15);
+      zs.next_in = job->comp.data();
+      zs.avail_in = (uInt)job->comp.size();
+      zs.next_out = outbuf.data();
+      zs.avail_out = (uInt)outbuf.size();
+      int rc = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (rc != Z_STREAM_END) {
+        std::lock_guard<std::mutex> lk(s->mu);
+        if (s->error.empty()) s->error = "bgzf: inflate failed";
+        outbuf.clear();
+      }
+    }
+    std::lock_guard<std::mutex> lk(s->rmu);
+    s->ready.emplace(job->seq, std::move(outbuf));
+    s->rcv.notify_all();
+  }
+  std::lock_guard<std::mutex> lk(s->rmu);
+  s->live_workers--;
+  s->rcv.notify_all();
+}
+
+static void bgzf_emit_loop(BgzfSource* s) {
+  while (true) {
+    std::vector<uint8_t> chunk;
+    {
+      std::unique_lock<std::mutex> lk(s->rmu);
+      s->rcv.wait(lk, [s] {
+        return s->stop || s->ready.count(s->next_emit) ||
+               (s->live_workers == 0 && s->ready.empty());
+      });
+      if (s->stop) return;
+      auto it = s->ready.find(s->next_emit);
+      if (it == s->ready.end()) break;  // all workers done, nothing left
+      chunk = std::move(it->second);
+      s->ready.erase(it);
+      s->next_emit++;
+    }
+    if (!chunk.empty()) s->out->put(std::move(chunk));
+  }
+  std::string err;
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    err = s->error;
+  }
+  s->out->finish(err);
+}
+
+// ---------------------------------------------------------------------------
+// Plain-gzip (or uncompressed) serial source.
+
+struct GzSource {
   gzFile f = nullptr;
+  ChunkQueue* out = nullptr;
+  std::thread th;
+  bool stop = false;
+
+  ~GzSource() {
+    stop = true;
+    out->shutdown();
+    if (th.joinable()) th.join();
+    if (f) gzclose(f);
+  }
+};
+
+static void gz_loop(GzSource* s) {
+  while (!s->stop) {
+    std::vector<uint8_t> chunk(kChunk);
+    int got = gzread(s->f, chunk.data(), kChunk);
+    if (got < 0) {
+      int errnum = 0;
+      s->out->finish(std::string("gzread: ") + gzerror(s->f, &errnum));
+      return;
+    }
+    if (got == 0) {
+      s->out->finish();
+      return;
+    }
+    chunk.resize(got);
+    s->out->put(std::move(chunk));
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Reader: chunk queue -> parse/pack thread -> batch queue.
+
+struct Reader {
   int batch_reads;
   int pad_to;
   int min_len;
   bool keep_names;
 
+  ChunkQueue chunks;
+  std::unique_ptr<BgzfSource> bgzf;
+  std::unique_ptr<GzSource> gz;
+
   std::thread th;
   std::mutex mu;
   std::condition_variable cv_produce, cv_consume;
   std::deque<std::unique_ptr<Batch>> queue;
-  bool done = false;     // producer finished (EOF or error)
-  bool stop = false;     // consumer asked to shut down
+  bool done = false;
+  bool stop = false;
   std::string error;
 
-  std::unique_ptr<Batch> current;  // batch handed to the consumer
+  std::unique_ptr<Batch> current;
 
-  // producer-side parse state
-  std::vector<uint8_t> buf;  // decompressed carry buffer
+  // parse state
+  std::vector<uint8_t> buf;
   size_t buf_pos = 0;
-  int phase = 0;  // 0 header, 1 seq, 2 plus, 3 qual -- persists across batches
+  int phase = 0;  // 0 header, 1 seq, 2 plus, 3 qual
+  bool src_eof = false;
 
   ~Reader() {
     {
       std::lock_guard<std::mutex> lk(mu);
       stop = true;
     }
+    chunks.shutdown();
     cv_produce.notify_all();
     if (th.joinable()) th.join();
-    if (f) gzclose(f);
+    bgzf.reset();
+    gz.reset();
   }
 };
 
@@ -94,8 +380,25 @@ const uint8_t* code_table() {
   return t;
 }
 
-// Parse up to batch_reads records from r->buf (refilling from gzread),
-// returning a packed Batch, or nullptr at clean EOF.
+// Refill r->buf from the chunk queue; returns false at end of stream.
+static bool refill(Reader* r) {
+  if (r->src_eof) return false;
+  if (r->buf_pos > 0) {
+    r->buf.erase(r->buf.begin(), r->buf.begin() + r->buf_pos);
+    r->buf_pos = 0;
+  }
+  std::vector<uint8_t> chunk;
+  if (!r->chunks.get(chunk)) {
+    r->src_eof = true;
+    if (!r->chunks.error.empty()) r->error = r->chunks.error;
+    return false;
+  }
+  r->buf.insert(r->buf.end(), chunk.begin(), chunk.end());
+  return true;
+}
+
+// Parse up to batch_reads records from the chunk stream, packing into a
+// Batch; nullptr at clean EOF.
 std::unique_ptr<Batch> parse_batch(Reader* r) {
   std::vector<std::pair<size_t, int32_t>> seqs;  // (offset into seqbuf, len)
   std::vector<uint8_t> seqbuf;
@@ -107,36 +410,24 @@ std::unique_ptr<Batch> parse_batch(Reader* r) {
   int32_t max_len = 0;
 
   while ((int)seqs.size() < r->batch_reads) {
-    // find next newline in buf
     const uint8_t* base = r->buf.data();
     const uint8_t* nl = (const uint8_t*)memchr(
         base + r->buf_pos, '\n', r->buf.size() - r->buf_pos);
     if (nl == nullptr) {
-      // refill: compact leftover, append a fresh chunk
-      if (r->buf_pos > 0) {
-        r->buf.erase(r->buf.begin(), r->buf.begin() + r->buf_pos);
-        r->buf_pos = 0;
-      }
-      size_t old = r->buf.size();
-      r->buf.resize(old + kChunk);
-      int got = gzread(r->f, r->buf.data() + old, kChunk);
-      if (got < 0) {
-        int errnum = 0;
-        r->error = std::string("gzread: ") + gzerror(r->f, &errnum);
-        return nullptr;
-      }
-      r->buf.resize(old + got);
-      if (got == 0) {
+      if (!refill(r)) {
         // EOF: a final line without trailing newline still counts
+        size_t old = r->buf.size() - r->buf_pos;
         if (old > 0 && phase == 1) {
+          const uint8_t* s0 = r->buf.data() + r->buf_pos;
           size_t len = old;
-          if (len > 0 && r->buf[len - 1] == '\r') len--;
+          if (len > 0 && s0[len - 1] == '\r') len--;
           seqs.emplace_back(seqbuf.size(), (int32_t)len);
-          seqbuf.insert(seqbuf.end(), r->buf.begin(), r->buf.begin() + len);
+          seqbuf.insert(seqbuf.end(), s0, s0 + len);
           max_len = std::max(max_len, (int32_t)len);
-          r->buf.clear();
           phase = 2;
         }
+        r->buf.clear();
+        r->buf_pos = 0;
         break;
       }
       continue;
@@ -149,7 +440,6 @@ std::unique_ptr<Batch> parse_batch(Reader* r) {
     if (phase == 0) {
       if (line_len == 0) continue;  // tolerate blank lines between records
       if (r->keep_names) {
-        // strip leading '@' and cut at first space/tab
         size_t s = line_start + 1, e = line_start + line_len;
         size_t c = s;
         while (c < e && base[c] != ' ' && base[c] != '\t') c++;
@@ -188,18 +478,16 @@ std::unique_ptr<Batch> parse_batch(Reader* r) {
   // share low nibbles); validity is an exact byte compare against the 8
   // accepted letters; 2-bit packing is two multiply-add reductions.
   const __m256i nib_lut = _mm256_setr_epi8(
-      //            A     C        G                          T
-      0, 0 /*A*/, 0, 1 /*C*/, 3 /*T? no: idx*/, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0 /*A*/, 0, 1 /*C*/, 3, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0,
       0, 0, 0, 1, 3, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0);
-  // low nibbles: A/a=0x1 -> 0, C/c=0x3 -> 1, G/g=0x7 -> 2, T/t=0x4 -> 3
   const __m256i lower = _mm256_set1_epi8(0x20);
   const __m256i ca = _mm256_set1_epi8('a');
   const __m256i cc = _mm256_set1_epi8('c');
   const __m256i cg = _mm256_set1_epi8('g');
   const __m256i ctt = _mm256_set1_epi8('t');
   const __m256i nibmask = _mm256_set1_epi8(0x0F);
-  const __m256i w14 = _mm256_set1_epi16(0x0401);   // bytes [1, 4] per pair
-  const __m256i w116 = _mm256_set1_epi32(0x00100001);  // u16 [1, 16]
+  const __m256i w14 = _mm256_set1_epi16(0x0401);
+  const __m256i w116 = _mm256_set1_epi32(0x00100001);
 #endif
   for (int32_t i = 0; i < b->n; i++) {
     const uint8_t* s = seqbuf.data() + seqs[i].first;
@@ -216,15 +504,13 @@ std::unique_ptr<Batch> parse_batch(Reader* r) {
           _mm256_or_si256(_mm256_cmpeq_epi8(lo, ca), _mm256_cmpeq_epi8(lo, cc)),
           _mm256_or_si256(_mm256_cmpeq_epi8(lo, cg), _mm256_cmpeq_epi8(lo, ctt)));
       __m256i code = _mm256_shuffle_epi8(nib_lut, _mm256_and_si256(v, nibmask));
-      code = _mm256_and_si256(code, ok);  // invalid -> 0 in packed
-      // 32 x 2-bit -> 8 bytes: (c0 + 4*c1) per byte pair, then + 16*(..)
-      __m256i p16 = _mm256_maddubs_epi16(code, w14);   // 16 x u16
-      __m256i p32 = _mm256_madd_epi16(p16, w116);      // 8 x u32 (one byte)
-      // narrow 8 u32 -> 8 bytes
+      code = _mm256_and_si256(code, ok);
+      __m256i p16 = _mm256_maddubs_epi16(code, w14);
+      __m256i p32 = _mm256_madd_epi16(p16, w116);
       __m128i lo128 = _mm256_castsi256_si128(p32);
       __m128i hi128 = _mm256_extracti128_si256(p32, 1);
-      __m128i b16 = _mm_packus_epi32(lo128, hi128);    // 8 x u16
-      __m128i b8 = _mm_packus_epi16(b16, b16);         // 8 bytes (x2)
+      __m128i b16 = _mm_packus_epi32(lo128, hi128);
+      __m128i b8 = _mm_packus_epi16(b16, b16);
       uint64_t packed8 = (uint64_t)_mm_cvtsi128_si64(b8);
       memcpy(pk + (j >> 2), &packed8, 8);
       uint32_t bad = ~(uint32_t)_mm256_movemask_epi8(ok);
@@ -267,23 +553,59 @@ void producer_loop(Reader* r) {
   }
 }
 
+// Sniff the file header: BGZF iff gzip + FEXTRA + BC subfield.
+static bool is_bgzf(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  uint8_t hdr[18];
+  int xlen = 0, bsize = 0;
+  int rc = read_bgzf_header(f, hdr, &xlen, &bsize);
+  fclose(f);
+  return rc > 0;
+}
+
 }  // namespace
 
 extern "C" {
 
-int ktio_abi_version() { return 3; }
+int ktio_abi_version() { return 4; }
 
 void* ktio_open(const char* path, int batch_reads, int pad_to, int min_len,
-                int keep_names) {
-  gzFile f = gzopen(path, "rb");
-  if (f == nullptr) return nullptr;
-  gzbuffer(f, 1 << 20);
+                int keep_names, int n_threads) {
   auto* r = new Reader();
-  r->f = f;
   r->batch_reads = batch_reads;
   r->pad_to = pad_to > 0 ? pad_to : 32;
   r->min_len = min_len;
   r->keep_names = keep_names != 0;
+
+  if (n_threads > 1 && is_bgzf(path)) {
+    auto s = std::make_unique<BgzfSource>();
+    s->f = fopen(path, "rb");
+    if (!s->f) {
+      delete r;
+      return nullptr;
+    }
+    setvbuf(s->f, nullptr, _IOFBF, 1 << 20);
+    s->n_workers = std::max(1, n_threads - 1);
+    s->out = &r->chunks;
+    s->live_workers = s->n_workers;
+    s->io_th = std::thread(bgzf_io_loop, s.get());
+    for (int i = 0; i < s->n_workers; i++)
+      s->workers.emplace_back(bgzf_worker_loop, s.get());
+    s->emit_th = std::thread(bgzf_emit_loop, s.get());
+    r->bgzf = std::move(s);
+  } else {
+    auto s = std::make_unique<GzSource>();
+    s->f = gzopen(path, "rb");
+    if (!s->f) {
+      delete r;
+      return nullptr;
+    }
+    gzbuffer(s->f, 1 << 20);
+    s->out = &r->chunks;
+    s->th = std::thread(gz_loop, s.get());
+    r->gz = std::move(s);
+  }
   r->th = std::thread(producer_loop, r);
   return r;
 }
