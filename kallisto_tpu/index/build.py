@@ -248,24 +248,115 @@ def _dlist_collect(
     return fl, sp
 
 
+def _concat_codes(seqs: Sequence[str]):
+    """Concatenate sequences into one code vector with an 'N' separator so
+    windows never straddle two sequences.  Returns (codes, starts [S+1])
+    where sequence j occupies codes[starts[j] : starts[j+1] - 1]."""
+    total = sum(len(s) for s in seqs) + len(seqs)
+    codes = np.full(total, 4, np.uint8)
+    starts = np.zeros(len(seqs) + 1, np.int64)
+    off = 0
+    for j, s in enumerate(seqs):
+        b = BASE_CODE[np.frombuffer(s.encode(), dtype=np.uint8)]
+        codes[off : off + b.shape[0]] = b
+        off += b.shape[0] + 1
+        starts[j + 1] = off
+    return codes, starts
+
+
+_STREAM_CHUNK = 1 << 23  # windows per vectorized chunk (64 MB of uint64)
+
+
+def _stream_kmers(codes: np.ndarray, k: int):
+    """Yield (window_start, canon, is_fw, valid) over all windows of the
+    concatenated code vector, in fixed-size chunks (windows overlap chunk
+    boundaries by re-reading k-1 codes, so every window appears exactly
+    once).  Uses the native rolling scan when available."""
+    from .kmers import scan_canonical
+
+    L = codes.shape[0]
+    n = L - k + 1
+    for lo in range(0, max(n, 0), _STREAM_CHUNK):
+        hi = min(lo + _STREAM_CHUNK, n)
+        canon, is_fw, valid = scan_canonical(codes[lo : hi + k - 1], k)
+        yield lo, canon, is_fw, valid
+
+
+class _KmerLookup:
+    """Host-side hashed k-mer membership: the numpy twin of the device
+    lookup (ops/pseudoalign.py lookup_kmers): splitmix64 mix ->
+    direct-address bucket -> fixed-depth branchless binary search.  ~4x
+    faster than np.searchsorted over the raw sorted table at 1e8 keys
+    (bounded probes, bucket-local cache behavior)."""
+
+    _DEPTH = 6
+
+    def __init__(self, keys: np.ndarray):
+        from ..ops.pseudoalign import _mix64_np
+
+        self.keys = keys
+        mk = _mix64_np(keys)
+        self.order = np.argsort(mk)
+        self.mk = mk[self.order]
+        N = self.mk.shape[0]
+        p = min(max(int(np.ceil(np.log2(max(N, 2)))) + 1, 4), 27)
+        while True:
+            bid = (self.mk >> np.uint64(64 - p)).astype(np.int64)
+            counts = np.bincount(bid, minlength=1 << p)
+            if counts.max(initial=0) < (1 << self._DEPTH) or p >= 27:
+                break
+            p += 1
+        if counts.max(initial=0) >= (1 << self._DEPTH):
+            raise ValueError("k-mer hash bucket overflow")
+        self.p = p
+        self.bucket_start = np.zeros((1 << p) + 1, np.int64)
+        np.cumsum(counts, out=self.bucket_start[1:])
+
+    def find(self, q: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (idx into the ORIGINAL sorted keys array, present)."""
+        from .. import native
+
+        if native.available():
+            idx, present = native.u64_lookup(
+                self.mk, self.bucket_start, self.p, q
+            )
+            idx = np.minimum(idx, max(self.mk.shape[0] - 1, 0))
+            return self.order[idx], present
+
+        from ..ops.pseudoalign import _mix64_np
+
+        mq = _mix64_np(q)
+        b = (mq >> np.uint64(64 - self.p)).astype(np.int64)
+        lo = self.bucket_start[b].copy()
+        n = self.bucket_start[b + 1] - lo
+        N = self.mk.shape[0]
+        for _ in range(self._DEPTH):
+            nz = n > 0
+            half = n >> 1
+            m = np.minimum(lo + half, N - 1)
+            go = (self.mk[m] < mq) & nz
+            lo = np.where(go, m + 1, lo)
+            n = np.where(go, n - half - 1, np.where(nz, half, 0))
+        idx = np.minimum(lo, max(N - 1, 0))
+        present = (N > 0) & (self.mk[idx] == mq)
+        return self.order[idx], present
+
+
 def _collect_canonical_kmers(seqs: Sequence[str], k: int) -> np.ndarray:
+    codes, _ = _concat_codes(seqs)
     parts = []
-    for s in seqs:
-        if len(s) < k:
-            continue
-        codes = BASE_CODE[np.frombuffer(s.encode(), dtype=np.uint8)]
-        km, valid = pack_kmers(codes, k)
-        canon, _ = canonicalize(km[valid], k)
-        parts.append(canon)
+    for _, canon, _fw, valid in _stream_kmers(codes, k):
+        parts.append(np.unique(canon[valid]))
     if not parts:
         return np.empty(0, np.uint64)
     return np.unique(np.concatenate(parts))
 
 
 def _oriented_successors(
-    keys: np.ndarray, oriented: np.ndarray, k: int
+    lookup: "_KmerLookup", oriented: np.ndarray, k: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """For each oriented k-mer, its de Bruijn successors among `keys`.
+    """For each oriented k-mer, its de Bruijn successors among the graph
+    k-mers.
 
     Returns (outdeg [M], succ_idx [M], succ_orient [M]); succ_* are valid only
     where outdeg == 1 (the only case unitig chaining needs).
@@ -279,9 +370,7 @@ def _oriented_successors(
     for b in range(4):
         cand = base | np.uint64(b)
         canon, is_fw = canonicalize(cand, k)
-        idx = np.searchsorted(keys, canon)
-        idx_c = np.minimum(idx, keys.shape[0] - 1)
-        present = keys[idx_c] == canon
+        idx_c, present = lookup.find(canon)
         outdeg += present
         succ_idx = np.where(present, idx_c, succ_idx)
         succ_orient = np.where(present, np.where(is_fw, 0, 1).astype(np.uint8), succ_orient)
@@ -296,23 +385,25 @@ def _build_unitigs(keys: np.ndarray, k: int):
     compaction (ext/bifrost/src/CompactedDBG.tcc); orientation/order of the
     unitig list is our own deterministic convention.
 
-    Returns (kmer_uid, kmer_pos, kmer_fw, unitig_nkmers, chains) where
-    chains is a list of (kmer_idx array, orient array) per unitig.
+    Returns (kmer_uid, kmer_pos, kmer_fw, unitig_nkmers, uc_ptr, uc_k,
+    uc_o): flat per-unitig chains (uc_ptr offsets into uc_k/uc_o).
     """
     N = keys.shape[0]
     if N == 0:
+        z32 = np.empty(0, np.int32)
         return (
-            np.empty(0, np.int32), np.empty(0, np.int32), np.empty(0, bool),
-            np.empty(0, np.int32), [],
+            z32, z32, np.empty(0, bool), z32,
+            np.zeros(1, np.int64), np.empty(0, np.int64), np.empty(0, np.uint8),
         )
     rc = revcomp_kmers(keys, k)
+    lookup = _KmerLookup(keys)
 
     # orientation 0 walks the canonical k-mer forward, 1 walks its twin
     outdeg = np.empty((2, N), np.int32)
     succ_idx = np.empty((2, N), np.int64)
     succ_orient = np.empty((2, N), np.uint8)
     for o, arr in ((0, keys), (1, rc)):
-        outdeg[o], succ_idx[o], succ_orient[o] = _oriented_successors(keys, arr, k)
+        outdeg[o], succ_idx[o], succ_orient[o] = _oriented_successors(lookup, arr, k)
 
     def is_start(i: np.ndarray, o: np.ndarray) -> np.ndarray:
         # (i,o) starts a unitig iff no simple edge enters it: either its
@@ -400,22 +491,32 @@ def _build_unitigs(keys: np.ndarray, k: int):
     kmer_uid = np.full(N, -1, np.int32)
     kmer_pos = np.full(N, -1, np.int32)
     kmer_fw = np.zeros(N, bool)
-    chains: List[Tuple[np.ndarray, np.ndarray]] = []
 
+    # flat chain layout for the kept traversals (vectorized over all
+    # unitigs: millions at human scale)
     kept = np.flatnonzero(keep)
-    for uid, c in enumerate(kept):
-        sl = slice(chain_ptr[c], chain_ptr[c + 1])
-        ki, ko = vk[sl], vo[sl]
-        kmer_uid[ki] = uid
-        kmer_pos[ki] = np.arange(ki.shape[0], dtype=np.int32)
-        kmer_fw[ki] = ko == 0
-        chains.append((ki, ko))
+    klen = chain_len[kept]
+    uc_ptr = np.zeros(kept.shape[0] + 1, np.int64)
+    np.cumsum(klen, out=uc_ptr[1:])
+    total = int(uc_ptr[-1])
+    gidx = _row_take(chain_ptr, kept, klen) if kept.size else np.empty(0, np.int64)
+    uc_k = vk[gidx]
+    uc_o = vo[gidx]
+    uid_of = np.repeat(np.arange(kept.shape[0], dtype=np.int32), klen)
+    pos_of = (np.arange(total, dtype=np.int64) - uc_ptr[uid_of]).astype(np.int32)
+    kmer_uid[uc_k] = uid_of
+    kmer_pos[uc_k] = pos_of
+    kmer_fw[uc_k] = uc_o == 0
 
     # cycles of simple edges (no start): walk them with a scalar loop
+    # (vanishingly rare in real transcriptomes)
+    extra_k: List[np.ndarray] = []
+    extra_o: List[np.ndarray] = []
+    n_units = kept.shape[0]
     unassigned = np.flatnonzero(kmer_uid < 0)
     while unassigned.size:
         i0 = int(unassigned[0])
-        uid = len(chains)
+        uid = n_units + len(extra_k)
         ki_list, ko_list = [], []
         i, o = i0, 0
         while True:
@@ -428,31 +529,49 @@ def _build_unitigs(keys: np.ndarray, k: int):
             if kmer_uid[i2] >= 0:
                 break
             i, o = i2, o2
-        chains.append((np.array(ki_list, np.int64), np.array(ko_list, np.uint8)))
+        extra_k.append(np.array(ki_list, np.int64))
+        extra_o.append(np.array(ko_list, np.uint8))
         unassigned = np.flatnonzero(kmer_uid < 0)
 
-    unitig_nkmers = np.array([c[0].shape[0] for c in chains], np.int32)
-    return kmer_uid, kmer_pos, kmer_fw, unitig_nkmers, chains
+    if extra_k:
+        uc_k = np.concatenate([uc_k] + extra_k)
+        uc_o = np.concatenate([uc_o] + extra_o)
+        uc_ptr = np.concatenate([
+            uc_ptr,
+            uc_ptr[-1] + np.cumsum([e.shape[0] for e in extra_k]),
+        ])
+    unitig_nkmers = np.diff(uc_ptr).astype(np.int32)
+    return kmer_uid, kmer_pos, kmer_fw, unitig_nkmers, uc_ptr, uc_k, uc_o
 
 
-def _unitig_sequences(keys: np.ndarray, chains, k: int):
-    """Reconstruct unitig base-code sequences from their k-mer chains."""
+def _unitig_sequences(keys: np.ndarray, uc_ptr, uc_k, uc_o, k: int):
+    """Reconstruct unitig base-code sequences from the flat k-mer chains
+    (vectorized: first k-mer expands to k bases, every later chain step
+    appends its last base)."""
+    U = uc_ptr.shape[0] - 1
+    if U == 0:
+        return np.zeros(1, np.int64), np.empty(0, np.uint8)
     rc_all = revcomp_kmers(keys, k)
-    offs = [0]
-    parts = []
-    for ki, ko in chains:
-        ov = np.where(ko == 0, keys[ki], rc_all[ki])
-        L = ki.shape[0] + k - 1
-        seq = np.empty(L, np.uint8)
-        first = int(ov[0])
-        for j in range(k):
-            seq[j] = (first >> (2 * (k - 1 - j))) & 3
-        if ki.shape[0] > 1:
-            seq[k:] = (ov[1:] & np.uint64(3)).astype(np.uint8)
-        parts.append(seq)
-        offs.append(offs[-1] + L)
-    seqpool = np.concatenate(parts) if parts else np.empty(0, np.uint8)
-    return np.array(offs, np.int64), seqpool
+    ov = np.where(uc_o == 0, keys[uc_k], rc_all[uc_k])
+    nk = np.diff(uc_ptr)
+    lens = nk + k - 1
+    offs = np.zeros(U + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    seqpool = np.empty(int(offs[-1]), np.uint8)
+    # head: k bases of each unitig's first k-mer
+    head = ov[uc_ptr[:-1]]
+    for j in range(k):
+        seqpool[offs[:-1] + j] = (
+            (head >> np.uint64(2 * (k - 1 - j))) & np.uint64(3)
+        ).astype(np.uint8)
+    # tail: last base of each non-first chain k-mer
+    uid_of = np.repeat(np.arange(U, dtype=np.int64), nk)
+    step = np.arange(uc_k.shape[0], dtype=np.int64) - uc_ptr[uid_of]
+    tail = step > 0
+    seqpool[offs[uid_of[tail]] + k - 1 + step[tail]] = (
+        ov[tail] & np.uint64(3)
+    ).astype(np.uint8)
+    return offs, seqpool
 
 
 def _transcript_runs(
@@ -471,62 +590,101 @@ def _transcript_runs(
     direction.  Returns arrays (run_uid, run_trid, run_start, run_stop,
     run_pos) where run_pos = transcript position of the run's first k-mer
     with bit 31 set when the walk is antisense.
+
+    Vectorized over ALL transcripts at once: the sequences are concatenated
+    with N separators (separator windows are invalid, so runs cannot cross
+    transcripts) and streamed through the hashed k-mer lookup in large
+    chunks; runs spanning chunk boundaries are carried over.
     """
-    r_uid, r_trid, r_start, r_stop, r_pos = [], [], [], [], []
-    for j, s in enumerate(seqs):
-        if len(s) < k:
-            continue
-        codes = BASE_CODE[np.frombuffer(s.encode(), dtype=np.uint8)]
-        km, valid = pack_kmers(codes, k)
-        canon, is_fw = canonicalize(km, k)
-        idx = np.minimum(np.searchsorted(keys, canon), keys.shape[0] - 1)
+    codes, tstarts = _concat_codes(seqs)
+    lookup = _KmerLookup(keys)
+    outs: List[List[np.ndarray]] = [[], [], [], [], []]
+    # pending (possibly continuing) last run of the previous chunk:
+    # [uid, strand, p0, p1, g0, valid]
+    pend = None
+    prev_tail = None  # (uid, strand, upos, valid) of the previous window
+
+    def finalize(uids, strands, p0s, p1s, g0s, valids):
+        keepm = valids.astype(bool)
+        if not keepm.any():
+            return
+        uids, strands = uids[keepm], strands[keepm]
+        p0s, p1s, g0s = p0s[keepm], p1s[keepm], g0s[keepm]
+        trid = np.searchsorted(tstarts, g0s, side="right") - 1
+        wpos = (g0s - tstarts[trid]).astype(np.uint32)
+        outs[0].append(uids.astype(np.int64))
+        outs[1].append(trid.astype(np.int64))
+        outs[2].append(np.minimum(p0s, p1s))
+        outs[3].append(np.maximum(p0s, p1s) + 1)
+        outs[4].append(
+            wpos | np.where(strands, 0, 0x80000000).astype(np.uint32)
+        )
+
+    for lo, canon, is_fw, valid in _stream_kmers(codes, k):
+        idx, _present = lookup.find(canon)
         uid = kmer_uid[idx]
-        upos = kmer_pos[idx]
+        upos = kmer_pos[idx].astype(np.int64)
         # walking forward in the unitig iff the transcript k-mer orientation
         # matches the orientation of the canonical k-mer within the unitig
         strand = is_fw == kmer_fw[idx]
-        n = uid.shape[0]
+        n = canon.shape[0]
         stepv = np.where(strand, 1, -1).astype(np.int64)
         brk = np.ones(n, bool)
         if n > 1:
             brk[1:] = (
                 (uid[1:] != uid[:-1])
                 | (strand[1:] != strand[:-1])
-                | (upos[1:].astype(np.int64) != upos[:-1].astype(np.int64) + stepv[:-1])
-                # N-containing k-mers (possible in --aa CFC space) break runs
+                | (upos[1:] != upos[:-1] + stepv[:-1])
+                # N-containing windows (separators; --aa CFC Ns) break runs
                 | ~valid[1:]
                 | ~valid[:-1]
             )
-        run_first = np.flatnonzero(brk)
-        run_last = np.empty_like(run_first)
-        run_last[:-1] = run_first[1:] - 1
-        run_last[-1] = n - 1
-        # invalid (N-containing) k-mers form their own single runs (every
-        # boundary around them breaks); drop those runs entirely
-        keep = valid[run_first]
-        run_first = run_first[keep]
-        run_last = run_last[keep]
-        if run_first.size == 0:
+        if prev_tail is not None:
+            pu, ps, pp, pv = prev_tail
+            brk[0] = not bool(
+                valid[0] and pv and uid[0] == pu and strand[0] == ps
+                and upos[0] == pp + (1 if ps else -1)
+            )
+        prev_tail = (uid[-1], strand[-1], upos[-1], valid[-1])
+
+        rf = np.flatnonzero(brk)
+        if rf.size == 0:
+            # entire chunk continues the pending run
+            if pend is not None:
+                pend[3] = int(upos[-1])
             continue
-        p0 = upos[run_first].astype(np.int64)
-        p1 = upos[run_last].astype(np.int64)
-        st = strand[run_first]
-        r_uid.append(uid[run_first].astype(np.int64))
-        r_trid.append(np.full(run_first.shape[0], j, np.int64))
-        r_start.append(np.minimum(p0, p1))
-        r_stop.append(np.maximum(p0, p1) + 1)
-        r_pos.append(
-            run_first.astype(np.uint32) | np.where(st, 0, 0x80000000).astype(np.uint32)
-        )
-    if not r_uid:
+        if not brk[0] and pend is not None:
+            pend[3] = int(upos[rf[0] - 1])
+        if pend is not None:
+            finalize(*(np.array([x]) for x in pend))
+            pend = None
+        run_last = np.empty_like(rf)
+        run_last[:-1] = rf[1:] - 1
+        run_last[-1] = n - 1
+        # hold back the chunk's final run (it may continue)
+        pend = [
+            int(uid[rf[-1]]), bool(strand[rf[-1]]),
+            int(upos[rf[-1]]), int(upos[n - 1]),
+            int(lo + rf[-1]), bool(valid[rf[-1]]),
+        ]
+        rf, run_last = rf[:-1], run_last[:-1]
+        if rf.size:
+            finalize(
+                uid[rf], strand[rf], upos[rf], upos[run_last],
+                lo + rf.astype(np.int64), valid[rf],
+            )
+    if pend is not None:
+        finalize(*(np.array([x]) for x in pend))
+
+    if not outs[0]:
         z = np.empty(0, np.int64)
         return z, z, z, z, np.empty(0, np.uint32)
     return (
-        np.concatenate(r_uid),
-        np.concatenate(r_trid),
-        np.concatenate(r_start),
-        np.concatenate(r_stop),
-        np.concatenate(r_pos),
+        np.concatenate(outs[0]),
+        np.concatenate(outs[1]),
+        np.concatenate(outs[2]),
+        np.concatenate(outs[3]),
+        np.concatenate(outs[4]),
     )
 
 
@@ -543,147 +701,157 @@ def _build_blocks(
     """Mosaic-EC block construction (reference: PopulateMosaicECs,
     src/KmerIndex.cpp:1110-1168) + EC-content deduplication.
 
+    Fully vectorized over all unitigs at once (the reference loops per
+    unitig in C++; a Python per-unitig loop would dominate human-scale
+    builds): breakpoints, (run x block) coverage expansion, per-(block,
+    transcript) payload dedup and EC-content row dedup are all global
+    numpy sorts/segment reductions.
+
     Unitigs whose run count exceeds max_ec_size (when > 0) are discarded:
     their single block gets the empty/wildcard EC
     (reference: src/KmerIndex.cpp:1047-1097).
     """
-    order = np.lexsort((run_trid, run_uid))
-    run_uid = run_uid[order]
-    run_trid = run_trid[order]
-    run_start = run_start[order]
-    run_stop = run_stop[order]
-    run_pos = run_pos[order]
-
-    uptr = np.zeros(num_unitigs + 1, np.int64)
     counts = np.bincount(run_uid, minlength=num_unitigs)
-    np.cumsum(counts, out=uptr[1:])
-
-    block_uid: List[int] = []
-    block_start: List[int] = []
-    block_end: List[int] = []
-    bp_tx_parts: List[np.ndarray] = []
-    bp_pos_parts: List[np.ndarray] = []
-    bp_rstart_parts: List[np.ndarray] = []
-    bp_rstop_parts: List[np.ndarray] = []
-    bp_strand_parts: List[np.ndarray] = []
-    bp_counts: List[int] = []
-
-    ec_rows: Dict[Tuple[int, ...], int] = {}
-    block_ec: List[int] = []
-
-    empty_tx = np.empty(0, np.int64)
-    empty_pos = np.empty(0, np.uint32)
-
-    for u in range(num_unitigs):
-        lo, hi = uptr[u], uptr[u + 1]
-        nk = int(unitig_nkmers[u])
-        n_runs = hi - lo
-        capped = max_ec_size > 0 and n_runs > max_ec_size
-        if n_runs == 0 or capped:
-            block_uid.append(u)
-            block_start.append(0)
-            block_end.append(nk)
-            block_ec.append(-1)
-            bp_tx_parts.append(empty_tx)
-            bp_pos_parts.append(empty_pos)
-            bp_rstart_parts.append(empty_tx)
-            bp_rstop_parts.append(empty_tx)
-            bp_strand_parts.append(np.empty(0, np.uint8))
-            bp_counts.append(0)
-            continue
-        starts = run_start[lo:hi]
-        stops = run_stop[lo:hi]
-        trids = run_trid[lo:hi]
-        poss = run_pos[lo:hi]
-        brk = np.unique(np.concatenate([starts, stops]))
-        # every unitig k-mer comes from some transcript, so runs tile it
-        # exactly (reference asserts this too, src/KmerIndex.cpp:1132-1133)
-        assert brk[0] == 0 and brk[-1] == nk, (u, brk[0], brk[-1], nk)
-        for bi in range(brk.shape[0] - 1):
-            bs, be = int(brk[bi]), int(brk[bi + 1])
-            cover = (starts <= bs) & (stops >= be)
-            tx = trids[cover]
-            px = poss[cover]
-            rs = starts[cover]
-            re = stops[cover]
-            # a transcript may cover the block via multiple runs: keep the
-            # MINIMUM raw pos (SparseVector.minimum() semantics) and mark the
-            # strand char ambiguous (2) when both orientations occur
-            if tx.shape[0] > 1:
-                order2 = np.lexsort((px, tx))
-                tx, px, rs, re = tx[order2], px[order2], rs[order2], re[order2]
-                first = np.ones(tx.shape[0], bool)
-                first[1:] = tx[1:] != tx[:-1]
-                bits = (px >> 31).astype(np.uint8)
-                grp = np.cumsum(first) - 1
-                n_grp = int(grp[-1]) + 1
-                any0 = np.zeros(n_grp, bool)
-                any1 = np.zeros(n_grp, bool)
-                np.logical_or.at(any0, grp, bits == 0)
-                np.logical_or.at(any1, grp, bits == 1)
-                strand = np.where(
-                    any0 & any1, 2, np.where(any0, 1, 0)
-                ).astype(np.uint8)
-                tx, px, rs, re = tx[first], px[first], rs[first], re[first]
-            else:
-                strand = np.where((px >> 31) == 0, 1, 0).astype(np.uint8)
-            key = tuple(int(t) for t in tx)
-            row = ec_rows.setdefault(key, len(ec_rows))
-            block_uid.append(u)
-            block_start.append(bs)
-            block_end.append(be)
-            block_ec.append(row)
-            bp_tx_parts.append(tx)
-            bp_pos_parts.append(px)
-            bp_rstart_parts.append(rs)
-            bp_rstop_parts.append(re)
-            bp_strand_parts.append(strand)
-            bp_counts.append(tx.shape[0])
-
-    NB = len(block_uid)
-    row_list = sorted(ec_rows.items(), key=lambda kv: kv[1])
-    sizes = np.array([len(t) for t, _ in row_list], np.int64)
-    ec_ptr = np.zeros(len(row_list) + 1, np.int64)
-    np.cumsum(sizes, out=ec_ptr[1:])
-    ec_tx = (
-        np.concatenate([np.array(t, np.int32) for t, _ in row_list])
-        if row_list and ec_ptr[-1] > 0
-        else np.empty(0, np.int32)
+    capped = (
+        (counts > max_ec_size) if max_ec_size > 0
+        else np.zeros(num_unitigs, bool)
     )
+    degenerate = (counts == 0) | capped
+    live_run = ~degenerate[run_uid]
+    ruid = run_uid[live_run]
+    rtrid = run_trid[live_run]
+    rstart = run_start[live_run]
+    rstop = run_stop[live_run]
+    rpos = run_pos[live_run]
 
+    BIG = np.int64(int(unitig_nkmers.max(initial=0)) + 2)
+
+    # ---- breakpoints per live unitig: unique (uid, pos) over run
+    #      starts+stops --------------------------------------------------
+    b_key = np.concatenate([ruid * BIG + rstart, ruid * BIG + rstop])
+    b_key = np.unique(b_key)
+    bu = b_key // BIG
+    bpos = b_key % BIG
+    # every unitig k-mer comes from some transcript, so runs tile each live
+    # unitig exactly (reference asserts this too, src/KmerIndex.cpp:1132-1133)
+    first_of_u = np.ones(bu.shape[0], bool)
+    first_of_u[1:] = bu[1:] != bu[:-1]
+    last_of_u = np.ones(bu.shape[0], bool)
+    last_of_u[:-1] = bu[:-1] != bu[1:]
+    assert (bpos[first_of_u] == 0).all()
+    assert (bpos[last_of_u] == unitig_nkmers[bu[last_of_u]]).all()
+
+    # live blocks: consecutive breakpoints within one unitig
+    same = bu[1:] == bu[:-1]
+    lb_uid = bu[:-1][same]
+    lb_start = bpos[:-1][same]
+    lb_end = bpos[1:][same]
+
+    # merge with degenerate single blocks, unitig-major
+    dg = np.flatnonzero(degenerate)
+    all_uid = np.concatenate([lb_uid, dg])
+    all_start = np.concatenate([lb_start, np.zeros(dg.shape[0], np.int64)])
+    all_end = np.concatenate([lb_end, unitig_nkmers[dg].astype(np.int64)])
+    is_dg = np.concatenate(
+        [np.zeros(lb_uid.shape[0], bool), np.ones(dg.shape[0], bool)]
+    )
+    bo = np.argsort(all_uid, kind="stable")
+    block_uid = all_uid[bo]
+    block_start = all_start[bo]
+    block_end = all_end[bo]
+    block_dg = is_dg[bo]
+    NB = block_uid.shape[0]
+
+    # ---- (run x covered block) expansion ------------------------------
+    # breakpoint rank of a (uid, pos) = global block id of the block
+    # starting there; a run [s, e) covers the consecutive blocks from
+    # rank(s) to rank(e) - 1
+    live_keys = block_uid * BIG + block_start  # ascending (degenerates too)
+    first_blk = np.searchsorted(live_keys, ruid * BIG + rstart)
+    end_rank = np.searchsorted(live_keys, ruid * BIG + rstop)
+    n_cover = end_rank - first_blk
+    P = int(n_cover.sum())
+    pair_run = np.repeat(np.arange(ruid.shape[0]), n_cover)
+    excl = np.zeros(ruid.shape[0], np.int64)
+    np.cumsum(n_cover[:-1], out=excl[1:])
+    within = np.arange(P, dtype=np.int64) - excl[pair_run]
+    pair_block = first_blk[pair_run] + within
+
+    # ---- per-(block, transcript) payload dedup ------------------------
+    # keep the MINIMUM raw pos (SparseVector.minimum() semantics) and mark
+    # the strand char ambiguous (2) when both orientations occur
+    p_tx = rtrid[pair_run]
+    p_pos = rpos[pair_run]
+    po = np.lexsort((p_pos, p_tx, pair_block))
+    p_blk = pair_block[po]
+    p_tx = p_tx[po]
+    p_pos = p_pos[po]
+    p_rs = rstart[pair_run][po]
+    p_re = rstop[pair_run][po]
+    g_first = np.ones(P, bool)
+    g_first[1:] = (p_blk[1:] != p_blk[:-1]) | (p_tx[1:] != p_tx[:-1])
+    grp = np.cumsum(g_first) - 1
+    n_grp = int(grp[-1]) + 1 if P else 0
+    bits = (p_pos >> np.uint32(31)).astype(np.uint8)
+    any0 = np.zeros(n_grp, np.uint8)
+    any1 = np.zeros(n_grp, np.uint8)
+    np.maximum.at(any0, grp, (bits == 0).astype(np.uint8))
+    np.maximum.at(any1, grp, (bits == 1).astype(np.uint8))
+    strand = np.where(
+        any0 & any1, 2, np.where(any0, 1, 0)
+    ).astype(np.uint8)
+    bp_tx = p_tx[g_first].astype(np.int32)
+    bp_pos = p_pos[g_first].astype(np.uint32)
+    bp_rstart = p_rs[g_first].astype(np.int32)
+    bp_rstop = p_re[g_first].astype(np.int32)
+    bp_strand = strand
+    bp_blk = p_blk[g_first]
+    bp_counts = np.bincount(bp_blk, minlength=NB)
     bp_ptr = np.zeros(NB + 1, np.int64)
-    np.cumsum(np.array(bp_counts, np.int64), out=bp_ptr[1:])
-    bp_tx = (
-        np.concatenate(bp_tx_parts).astype(np.int32)
-        if bp_tx_parts
-        else np.empty(0, np.int32)
+    np.cumsum(bp_counts, out=bp_ptr[1:])
+
+    # ---- EC content rows: dedup sorted transcript lists across blocks
+    # via order-independent 128-bit content hashes (collision odds over
+    # millions of rows ~1e-20); row ids in first-seen block order --------
+    mt = _mix64_content(bp_tx.astype(np.uint64))
+    h1 = np.zeros(NB, np.uint64)
+    h2 = np.zeros(NB, np.uint64)
+    np.add.at(h1, bp_blk, mt)
+    with np.errstate(over="ignore"):
+        np.add.at(h2, bp_blk, mt * mt | np.uint64(1))
+    content = np.stack(
+        [bp_counts.astype(np.uint64), h1, h2], axis=1
     )
-    bp_pos = (
-        np.concatenate(bp_pos_parts).astype(np.uint32)
-        if bp_pos_parts
-        else np.empty(0, np.uint32)
+    content[block_dg] = 0  # degenerate: empty/wildcard row (-1)
+    cv = content.view([("c", "<u8"), ("a", "<u8"), ("b", "<u8")]).reshape(-1)
+    uniq, ufirst, inv = np.unique(cv, return_index=True, return_inverse=True)
+    # first-seen order over non-degenerate blocks
+    live_u = np.flatnonzero(
+        ~np.isin(np.arange(uniq.shape[0]), inv[block_dg])
+        if block_dg.any() else np.ones(uniq.shape[0], bool)
     )
-    bp_rstart = (
-        np.concatenate(bp_rstart_parts).astype(np.int32)
-        if bp_rstart_parts
-        else np.empty(0, np.int32)
-    )
-    bp_rstop = (
-        np.concatenate(bp_rstop_parts).astype(np.int32)
-        if bp_rstop_parts
-        else np.empty(0, np.int32)
-    )
-    bp_strand = (
-        np.concatenate(bp_strand_parts).astype(np.uint8)
-        if bp_strand_parts
-        else np.empty(0, np.uint8)
-    )
+    order_u = live_u[np.argsort(ufirst[live_u], kind="stable")]
+    row_of_u = np.full(uniq.shape[0], -1, np.int64)
+    row_of_u[order_u] = np.arange(order_u.shape[0])
+    block_ec = row_of_u[inv].astype(np.int32)
+    block_ec[block_dg] = -1
+
+    # representative block per row -> ec_ptr/ec_tx (cv is per-block in
+    # block order, so ufirst[u] IS the first block carrying that content)
+    rep_blk = ufirst[order_u].astype(np.int64)
+    sizes = bp_counts[rep_blk] if order_u.shape[0] else np.empty(0, np.int64)
+    ec_ptr = np.zeros(order_u.shape[0] + 1, np.int64)
+    np.cumsum(sizes, out=ec_ptr[1:])
+    if ec_ptr[-1] > 0:
+        ec_tx = bp_tx[_row_take(bp_ptr, rep_blk, sizes)]
+    else:
+        ec_tx = np.empty(0, np.int32)
 
     return (
-        np.array(block_uid, np.int32),
-        np.array(block_start, np.int32),
-        np.array(block_end, np.int32),
-        np.array(block_ec, np.int32),
+        block_uid.astype(np.int32),
+        block_start.astype(np.int32),
+        block_end.astype(np.int32),
+        block_ec,
         ec_ptr,
         ec_tx,
         bp_ptr,
@@ -693,6 +861,29 @@ def _build_blocks(
         bp_rstop,
         bp_strand,
     )
+
+
+def _mix64_content(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer for content hashing."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _row_take(bp_ptr: np.ndarray, rep_blk: np.ndarray, sizes: np.ndarray):
+    """Vectorized gather of [bp_ptr[b], bp_ptr[b]+size) index ranges."""
+    total = int(sizes.sum())
+    out_run = np.repeat(np.arange(rep_blk.shape[0]), sizes)
+    excl = np.zeros(rep_blk.shape[0], np.int64)
+    np.cumsum(sizes[:-1], out=excl[1:])
+    within = np.arange(total, dtype=np.int64) - excl[out_run]
+    return bp_ptr[rep_blk][out_run] + within
 
 
 def build_index(
@@ -743,8 +934,11 @@ def build_index(
         elif dl_all.size:
             dummy_canon = np.uint64(dl_all[0])  # special k-mer already in graph
 
-    kmer_uid, kmer_pos, kmer_fw, unitig_nkmers, chains = _build_unitigs(keys, k)
-    useq_off, useq = _unitig_sequences(keys, chains, k)
+    (
+        kmer_uid, kmer_pos, kmer_fw, unitig_nkmers, uc_ptr, uc_k, uc_o,
+    ) = _build_unitigs(keys, k)
+    n_unitigs = unitig_nkmers.shape[0]
+    useq_off, useq = _unitig_sequences(keys, uc_ptr, uc_k, uc_o, k)
 
     walk_seqs = list(base_seqs)
     num_seqs = len(base_seqs)
@@ -785,22 +979,17 @@ def build_index(
     (
         block_uid, block_start, block_end, block_ec,
         ec_ptr, ec_tx, bp_ptr, bp_tx, bp_pos, bp_rstart, bp_rstop, bp_strand,
-    ) = _build_blocks(len(chains), unitig_nkmers, *runs, max_ec_size)
+    ) = _build_blocks(n_unitigs, unitig_nkmers, *runs, max_ec_size)
 
     # per-kmer block id: blocks are emitted unitig-major with ascending
-    # intervals, so assign by searching each unitig's block starts
-    NB = block_uid.shape[0]
-    kmer_block = np.full(keys.shape[0], -1, np.int32)
-    # block index ranges per unitig
-    ub_ptr = np.zeros(len(chains) + 1, np.int64)
-    np.cumsum(np.bincount(block_uid, minlength=len(chains)), out=ub_ptr[1:])
-    for u in range(len(chains)):
-        lo, hi = int(ub_ptr[u]), int(ub_ptr[u + 1])
-        ki = chains[u][0]
-        pos = kmer_pos[ki]
-        bstarts = block_start[lo:hi]
-        bidx = np.searchsorted(bstarts, pos, side="right") - 1
-        kmer_block[ki] = (lo + bidx).astype(np.int32)
+    # intervals, so one global searchsorted over (uid, start) keys assigns
+    # every k-mer at once
+    BIG = np.int64(int(unitig_nkmers.max(initial=0)) + 2)
+    bkeys = block_uid.astype(np.int64) * BIG + block_start
+    kq = kmer_uid.astype(np.int64) * BIG + kmer_pos
+    kmer_block = (
+        np.searchsorted(bkeys, kq, side="right").astype(np.int32) - 1
+    )
 
     if dl_all.size and dummy_canon is not None:
         di = int(np.searchsorted(keys, dummy_canon))

@@ -32,7 +32,12 @@ def pack_kmers(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def revcomp_kmers(kmers: np.ndarray, k: int) -> np.ndarray:
-    """Reverse complement of packed k-mers (vectorized bit-twiddling)."""
+    """Reverse complement of packed k-mers (native multithreaded kernel
+    when available; numpy bit-twiddling fallback)."""
+    from .. import native
+
+    if kmers.shape[0] >= (1 << 16) and native.available():
+        return native.revcomp64(kmers, k)
     x = ~kmers  # complement: A<->T, C<->G under the 2-bit code
     # reverse 2-bit groups within 64 bits
     x = ((x & np.uint64(0x3333333333333333)) << np.uint64(2)) | (
@@ -77,3 +82,18 @@ def seq_kmers_canonical(codes: np.ndarray, k: int):
     km, valid = pack_kmers(codes, k)
     canon, fw = canonicalize(km, k)
     return canon, valid, fw
+
+
+def scan_canonical(codes: np.ndarray, k: int):
+    """All windows of a code vector -> (canonical kmers, is_fw, valid).
+
+    Native multithreaded rolling scan when available (one pass, no [W]
+    temporaries per shift); numpy fallback otherwise.
+    """
+    from .. import native
+
+    if codes.shape[0] >= (1 << 16) and native.available():
+        return native.kmer_scan(codes, k)
+    km, valid = pack_kmers(codes, k)
+    canon, is_fw = canonicalize(km, k)
+    return canon, is_fw, valid

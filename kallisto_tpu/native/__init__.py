@@ -71,6 +71,22 @@ def load() -> ctypes.CDLL:
         lib.ktio_error.restype = ctypes.c_char_p
         lib.ktio_error.argtypes = [ctypes.c_void_p]
         lib.ktio_close.argtypes = [ctypes.c_void_p]
+        lib.ktio_u64_lookup.restype = None
+        lib.ktio_u64_lookup.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+        lib.ktio_kmer_scan.restype = None
+        lib.ktio_kmer_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.ktio_revcomp.restype = None
+        lib.ktio_revcomp.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int,
+        ]
         _lib = lib
         return lib
 
@@ -165,6 +181,64 @@ class NativeFastqReader:
             self.close()
         except Exception:
             pass
+
+
+def u64_lookup(keys_mixed_sorted, bucket_start, p: int, queries,
+               n_threads: int = 0):
+    """Multithreaded hashed membership over a sorted mixed-u64 table.
+
+    Returns (idx into the sorted table with n for misses, hit bool array).
+    """
+    import os as _os
+
+    lib = load()
+    m = queries.shape[0]
+    out_idx = np.empty(m, np.int64)
+    out_hit = np.empty(m, np.uint8)
+    if n_threads <= 0:
+        n_threads = min(8, _os.cpu_count() or 1)
+    lib.ktio_u64_lookup(
+        keys_mixed_sorted.ctypes.data, keys_mixed_sorted.shape[0],
+        bucket_start.ctypes.data, p,
+        np.ascontiguousarray(queries).ctypes.data, m,
+        out_idx.ctypes.data, out_hit.ctypes.data, n_threads,
+    )
+    return out_idx, out_hit.astype(bool)
+
+
+def kmer_scan(codes, k: int, n_threads: int = 0):
+    """Rolling canonical k-mers (canon, is_fw, valid) over a code vector."""
+    import os as _os
+
+    lib = load()
+    n = codes.shape[0]
+    W = n - k + 1
+    if W <= 0:
+        return (np.empty(0, np.uint64), np.empty(0, bool), np.empty(0, bool))
+    canon = np.empty(W, np.uint64)
+    is_fw = np.empty(W, np.uint8)
+    valid = np.empty(W, np.uint8)
+    if n_threads <= 0:
+        n_threads = min(8, _os.cpu_count() or 1)
+    lib.ktio_kmer_scan(
+        np.ascontiguousarray(codes).ctypes.data, n, k,
+        canon.ctypes.data, is_fw.ctypes.data, valid.ctypes.data, n_threads,
+    )
+    return canon, is_fw.astype(bool), valid.astype(bool)
+
+
+def revcomp64(kmers, k: int, n_threads: int = 0):
+    import os as _os
+
+    lib = load()
+    out = np.empty(kmers.shape[0], np.uint64)
+    if n_threads <= 0:
+        n_threads = min(8, _os.cpu_count() or 1)
+    lib.ktio_revcomp(
+        np.ascontiguousarray(kmers).ctypes.data, kmers.shape[0], k,
+        out.ctypes.data, n_threads,
+    )
+    return out
 
 
 def available() -> bool:

@@ -640,4 +640,131 @@ const char* ktio_error(void* h) { return ((Reader*)h)->error.c_str(); }
 
 void ktio_close(void* h) { delete (Reader*)h; }
 
+// ---------------------------------------------------------------------------
+// Host-side hashed k-mer membership for the index builder: splitmix64 mix
+// -> direct-address bucket -> branch-light binary search, multithreaded.
+// (numpy's searchsorted/gather loops top out ~2M lookups/s on 1e8-key
+// tables; this runs ~100M/s/thread.)
+
+static inline uint64_t mix64(uint64_t x) {
+  x ^= x >> 30;
+  x *= 0xBF58476D1CE4E5B9ULL;
+  x ^= x >> 27;
+  x *= 0x94D049BB133111EBULL;
+  x ^= x >> 31;
+  return x;
+}
+
+// keys_mixed: sorted mixed keys [n]; bucket_start: [2^p + 1] offsets.
+// q: raw queries [m]; out_idx: position in keys_mixed (or n if miss);
+// out_hit: 1/0.
+void ktio_u64_lookup(const uint64_t* keys_mixed, int64_t n,
+                     const int64_t* bucket_start, int p, const uint64_t* q,
+                     int64_t m, int64_t* out_idx, uint8_t* out_hit,
+                     int n_threads) {
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; i++) {
+      uint64_t mq = mix64(q[i]);
+      uint64_t b = p ? (mq >> (64 - p)) : 0;
+      int64_t s = bucket_start[b], e = bucket_start[b + 1];
+      while (s < e) {
+        int64_t mid = (s + e) >> 1;
+        if (keys_mixed[mid] < mq)
+          s = mid + 1;
+        else
+          e = mid;
+      }
+      bool hit = s < bucket_start[b + 1] && keys_mixed[s] == mq;
+      out_idx[i] = hit ? s : n;
+      out_hit[i] = hit ? 1 : 0;
+    }
+  };
+  int T = n_threads > 0 ? n_threads : 1;
+  if (T == 1 || m < (1 << 16)) {
+    work(0, m);
+    return;
+  }
+  std::vector<std::thread> ths;
+  int64_t per = (m + T - 1) / T;
+  for (int t = 0; t < T; t++) {
+    int64_t lo = t * per, hi = std::min<int64_t>(m, lo + per);
+    if (lo < hi) ths.emplace_back(work, lo, hi);
+  }
+  for (auto& th : ths) th.join();
+}
+
+static inline uint64_t revcomp_u64(uint64_t x, int k) {
+  x = ~x;
+  x = ((x & 0x3333333333333333ULL) << 2) | ((x >> 2) & 0x3333333333333333ULL);
+  x = ((x & 0x0F0F0F0F0F0F0F0FULL) << 4) | ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL);
+  x = ((x & 0x00FF00FF00FF00FFULL) << 8) | ((x >> 8) & 0x00FF00FF00FF00FFULL);
+  x = ((x & 0x0000FFFF0000FFFFULL) << 16) |
+      ((x >> 16) & 0x0000FFFF0000FFFFULL);
+  x = (x << 32) | (x >> 32);
+  return x >> (64 - 2 * k);
+}
+
+// Rolling canonical k-mers over a base-code vector (0..3, 4=N), threaded.
+// Writes n-k+1 windows: canon (min of fwd/rc), is_fw, valid (no N inside).
+void ktio_kmer_scan(const uint8_t* codes, int64_t n, int k, uint64_t* canon,
+                    uint8_t* is_fw, uint8_t* valid, int n_threads) {
+  int64_t W = n - k + 1;
+  if (W <= 0) return;
+  const uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  auto work = [&](int64_t lo, int64_t hi) {
+    // rolling state seeded at window lo
+    uint64_t fwd = 0, rc = 0;
+    int64_t next_valid = lo;  // first window index with no N in it
+    for (int64_t j = lo; j < lo + k - 1 && j < n; j++) {
+      uint8_t c = codes[j];
+      if (c >= 4) next_valid = j + 1;
+      c &= 3;
+      fwd = ((fwd << 2) | c) & mask;
+      rc = (rc >> 2) | ((uint64_t)(3 - c) << (2 * (k - 1)));
+    }
+    for (int64_t w = lo; w < hi; w++) {
+      uint8_t c = codes[w + k - 1];
+      if (c >= 4) next_valid = w + k;
+      c &= 3;
+      fwd = ((fwd << 2) | c) & mask;
+      rc = (rc >> 2) | ((uint64_t)(3 - c) << (2 * (k - 1)));
+      bool fw = fwd <= rc;
+      canon[w] = fw ? fwd : rc;
+      is_fw[w] = fw ? 1 : 0;
+      valid[w] = (w >= next_valid) ? 1 : 0;
+    }
+  };
+  int T = n_threads > 0 ? n_threads : 1;
+  if (T == 1 || W < (1 << 16)) {
+    work(0, W);
+    return;
+  }
+  std::vector<std::thread> ths;
+  int64_t per = (W + T - 1) / T;
+  for (int t = 0; t < T; t++) {
+    int64_t lo = t * per, hi = std::min<int64_t>(W, lo + per);
+    if (lo < hi) ths.emplace_back(work, lo, hi);
+  }
+  for (auto& th : ths) th.join();
+}
+
+void ktio_revcomp(const uint64_t* x, int64_t n, int k, uint64_t* out,
+                  int n_threads) {
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; i++) out[i] = revcomp_u64(x[i], k);
+  };
+  int T = n_threads > 0 ? n_threads : 1;
+  if (T == 1 || n < (1 << 18)) {
+    work(0, n);
+    return;
+  }
+  std::vector<std::thread> ths;
+  int64_t per = (n + T - 1) / T;
+  for (int t = 0; t < T; t++) {
+    int64_t lo = t * per, hi = std::min<int64_t>(n, lo + per);
+    if (lo < hi) ths.emplace_back(work, lo, hi);
+  }
+  for (auto& th : ths) th.join();
+}
+
 }  // extern "C"
