@@ -27,6 +27,73 @@ import numpy as np
 INT32_MAX = np.int32(2**31 - 1)
 
 
+class _GrowCounts:
+    """Growable int64 count vector with list-like [] access (the EC count
+    table; reference: MinCollector::counts)."""
+
+    def __init__(self):
+        self._a = np.zeros(1024, np.int64)
+        self.n = 0
+
+    def append(self, v: int) -> None:
+        if self.n == self._a.shape[0]:
+            b = np.zeros(self._a.shape[0] * 2, np.int64)
+            b[: self.n] = self._a
+            self._a = b
+        self._a[self.n] = v
+        self.n += 1
+
+    def __getitem__(self, i):
+        return self._a[i]
+
+    def __setitem__(self, i, v):
+        self._a[i] = v
+
+    def __len__(self):
+        return self.n
+
+    def add_at(self, idx: np.ndarray, occ: np.ndarray) -> None:
+        np.add.at(self._a, idx, occ)
+
+    def array(self) -> np.ndarray:
+        return self._a[: self.n].copy()
+
+
+class _SortedCache128:
+    """Batch-lookup map from 128-bit hashes to int64 values.
+
+    Keys live as a V16 (memcmp-ordered void) sorted array; a whole
+    batch's worth of lookups is one searchsorted.  Inserts re-sort
+    (microseconds up to millions of keys, once per batch at most).
+    """
+
+    def __init__(self):
+        self._keys = np.empty(0, "V16")
+        self._vals = np.empty(0, np.int64)
+
+    @staticmethod
+    def _as_void(h: np.ndarray) -> np.ndarray:
+        return np.ascontiguousarray(h).view("V16").reshape(-1)
+
+    def lookup(self, h: np.ndarray):
+        """h: [n, 2] int64 -> (values [n] int64, found [n] bool)."""
+        q = self._as_void(h)
+        if self._keys.shape[0] == 0:
+            return np.empty(q.shape[0], np.int64), np.zeros(q.shape[0], bool)
+        pos = np.searchsorted(self._keys, q)
+        pos_c = np.minimum(pos, self._keys.shape[0] - 1)
+        found = self._keys[pos_c] == q
+        return self._vals[pos_c], found
+
+    def insert(self, h: np.ndarray, vals: np.ndarray) -> None:
+        q = self._as_void(h)
+        keys = np.concatenate([self._keys, q])
+        vv = np.concatenate([self._vals, vals.astype(np.int64)])
+        o = np.argsort(keys, kind="stable")
+        self._keys = keys[o]
+        self._vals = vv[o]
+
+
 class EcResolver:
     def __init__(self, index, mask_offlist: bool = True,
                  dfk_onlist: bool = False):
@@ -65,12 +132,15 @@ class EcResolver:
         # dynamic EC map: key = sorted transcript-id int32 bytes -> ec id
         self.ecmapinv: Dict[bytes, int] = {}
         self.ec_sets: List[np.ndarray] = []
-        self.counts: List[int] = []
+        self.counts = _GrowCounts()
         self.num_mapped = 0  # running total for progress reporting
         # cache: raw row-set key bytes -> resolved transcript set (or None)
         self._key_cache: Dict[bytes, Optional[np.ndarray]] = {}
         # cache: 128-bit device key hash -> resolved transcript set (or None)
         self._hash_cache: Dict[bytes, Optional[np.ndarray]] = {}
+        # vectorized 128-bit key-hash -> EC id cache for the compact path
+        # (-1 = resolves to no set); lookups/inserts are batch numpy ops
+        self._ec_cache = _SortedCache128()
 
     # -- EC id management ------------------------------------------------
 
@@ -331,24 +401,25 @@ class EcResolver:
         """
         valid = np.flatnonzero(occ > 0)
         order = valid[np.argsort(first_idx[valid], kind="stable")]
-        hb = np.ascontiguousarray(uniq_h).tobytes()
-        hkeys = [hb[16 * qi : 16 * (qi + 1)] for qi in order]
-        new_pos = [
-            (j, qi) for j, (qi, kb) in enumerate(zip(order, hkeys))
-            if kb not in self._hash_cache
-        ]
-        if new_pos:
-            keys = fetch_exemplars(first_idx[[qi for _, qi in new_pos]])
-            for row, (j, qi) in enumerate(new_pos):
-                self._hash_cache[hkeys[j]] = self._resolve_key(
-                    keys[row], R, paired, do_union
-                )
-        for j, qi in enumerate(order):
-            u = self._hash_cache[hkeys[j]]
-            if u is not None:
-                ec = self.ec_id_for(u)
-                self.counts[ec] += int(occ[qi])
-                self.num_mapped += int(occ[qi])
+        h = np.ascontiguousarray(uniq_h[order])
+        vals, found = self._ec_cache.lookup(h)
+        new_pos = np.flatnonzero(~found)
+        if new_pos.size:
+            # first-seen keys only: resolve from fetched exemplars, in read
+            # order (EC ids are assigned first-seen, like the reference's
+            # single-threaded ecmapinv updates)
+            keys = fetch_exemplars(first_idx[order[new_pos]])
+            newvals = np.empty(new_pos.shape[0], np.int64)
+            for j in range(new_pos.shape[0]):
+                u = self._resolve_key(keys[j], R, paired, do_union)
+                newvals[j] = self.ec_id_for(u) if u is not None else -1
+            self._ec_cache.insert(h[new_pos], newvals)
+            vals = vals.copy()
+            vals[new_pos] = newvals
+        occ_o = occ[order].astype(np.int64)
+        m = vals >= 0
+        self.counts.add_at(vals[m], occ_o[m])
+        self.num_mapped += int(occ_o[m].sum())
 
     def count_batch(
         self,
@@ -382,10 +453,12 @@ class EcResolver:
     # -- outputs ---------------------------------------------------------
 
     def counts_array(self) -> np.ndarray:
-        return np.array(self.counts, np.int64)
+        return self.counts.array()
 
     def num_unique_reads(self) -> int:
-        return sum(c for c, s in zip(self.counts, self.ec_sets) if s.shape[0] == 1)
+        c = self.counts.array()
+        card = np.array([s.shape[0] for s in self.ec_sets], np.int64)
+        return int(c[card == 1].sum()) if c.shape[0] else 0
 
 
 def _hash_rows(keys: np.ndarray) -> np.ndarray:

@@ -12,6 +12,8 @@ import time
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .. import KALLISTO_COMPAT_VERSION
@@ -280,25 +282,42 @@ def _pad_pow2(n: int, lo: int = 64) -> int:
 
 
 def _make_pair_fetcher(r1, r2, s1: _SideArrays, s2: _SideArrays):
-    """Exemplar fetcher: device-gathers full row lists for first-seen keys."""
+    """Exemplar fetcher: ONE device gather returns the row lists + flag
+    column of first-seen keys (flags are gathered on device too -- pulling
+    the full [B] has_hits/overflow vectors to the host costs four d2h
+    round-trips per batch under tunneled TPUs)."""
     import jax.numpy as jnp
 
     def fetch(idx: np.ndarray) -> np.ndarray:
         pad = _pad_pow2(idx.shape[0])
         idxp = np.zeros(pad, np.int64)
         idxp[: idx.shape[0]] = idx
-        jidx = jnp.asarray(idxp)
-        g1 = np.asarray(gather_rows(r1.rows, jidx))[: idx.shape[0]]
-        g2 = np.asarray(gather_rows(r2.rows, jidx))[: idx.shape[0]]
-        flags = (
-            s1.has_hits[idx].astype(np.int32)
-            + 2 * s2.has_hits[idx].astype(np.int32)
-            + 4 * s1.overflow[idx].astype(np.int32)
-            + 8 * s2.overflow[idx].astype(np.int32)
+        out = _gather_pair_exemplars(
+            r1.rows, r2.rows, r1.has_hits, r2.has_hits,
+            r1.overflow, r2.overflow, jnp.asarray(idxp),
         )
-        return np.concatenate([g1, g2, flags[:, None]], axis=1)
+        return np.asarray(out)[: idx.shape[0]]
 
     return fetch
+
+
+@jax.jit
+def _gather_pair_exemplars(rows1, rows2, hh1, hh2, ov1, ov2, idx):
+    flags = (
+        hh1[idx].astype(jnp.int32)
+        + 2 * hh2[idx].astype(jnp.int32)
+        + 4 * ov1[idx].astype(jnp.int32)
+        + 8 * ov2[idx].astype(jnp.int32)
+    )
+    return jnp.concatenate(
+        [rows1[idx], rows2[idx], flags[:, None]], axis=1
+    )
+
+
+@jax.jit
+def _gather_single_exemplars(rows1, hh1, ov1, idx):
+    flags = hh1[idx].astype(jnp.int32) + 4 * ov1[idx].astype(jnp.int32)
+    return jnp.concatenate([rows1[idx], flags[:, None]], axis=1)
 
 
 def _make_single_fetcher(r1, s1: _SideArrays):
@@ -308,11 +327,10 @@ def _make_single_fetcher(r1, s1: _SideArrays):
         pad = _pad_pow2(idx.shape[0])
         idxp = np.zeros(pad, np.int64)
         idxp[: idx.shape[0]] = idx
-        g1 = np.asarray(gather_rows(r1.rows, jnp.asarray(idxp)))[: idx.shape[0]]
-        flags = s1.has_hits[idx].astype(np.int32) + 4 * s1.overflow[idx].astype(
-            np.int32
+        out = _gather_single_exemplars(
+            r1.rows, r1.has_hits, r1.overflow, jnp.asarray(idxp)
         )
-        return np.concatenate([g1, flags[:, None]], axis=1)
+        return np.asarray(out)[: idx.shape[0]]
 
     return fetch
 
