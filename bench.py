@@ -51,6 +51,15 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, here)
 
+    import jax
+
+    # persistent compilation cache: production runs after the very first
+    # pay no XLA compile time (the tunneled-TPU first compile is minutes)
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(here, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     from kallisto_tpu.common import Options
     from kallisto_tpu.index import build_index
     from kallisto_tpu.quant.pipeline import run_quant

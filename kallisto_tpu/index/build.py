@@ -430,33 +430,31 @@ def _build_unitigs(keys: np.ndarray, k: int):
     visit_kmer: List[np.ndarray] = []
     visit_orient: List[np.ndarray] = []
 
-    chain_ids = np.arange(S, dtype=np.int64)
+    # compacted frontier: only still-active chains are touched each step
+    # (the active set shrinks fast; full-width masks would make long
+    # unitigs O(S * max_len))
+    ai = np.arange(S, dtype=np.int64)
     cur_i = starts[:, 0].copy()
     cur_o = starts[:, 1].copy()
-    active = np.ones(S, bool)
     step = 0
     chain_len = np.zeros(S, np.int64)
-    while active.any():
-        ai = chain_ids[active]
+    while ai.size:
         visit_chain.append(ai)
-        visit_kmer.append(cur_i[active])
-        visit_orient.append(cur_o[active])
-        chain_len[active] += 1
+        visit_kmer.append(cur_i)
+        visit_orient.append(cur_o)
+        chain_len[ai] += 1
         # can we extend? need outdeg==1 here and indeg==1 at the successor
-        io, oo = cur_i[active], cur_o[active]
-        can = outdeg[oo, io] == 1
-        ni = np.where(can, succ_idx[oo, io], 0)
-        no = np.where(can, succ_orient[oo, io], 0)
+        can = outdeg[cur_o, cur_i] == 1
+        ni = np.where(can, succ_idx[cur_o, cur_i], 0)
+        no = np.where(can, succ_orient[cur_o, cur_i], 0)
         can &= outdeg[1 - no, ni] == 1
         # never extend a unitig into its own twin (immediate hairpin)
-        can &= ni != io
+        can &= ni != cur_i
         # a successor that is itself a unitig start would mean a cycle of
         # simple edges; linear chains never hit one (their far end branches)
-        nxt_active = np.zeros(S, bool)
-        nxt_active[ai[can]] = True
-        cur_i[ai[can]] = ni[can]
-        cur_o[ai[can]] = no[can]
-        active = nxt_active
+        ai = ai[can]
+        cur_i = ni[can]
+        cur_o = no[can]
         step += 1
         if step > N + 1:
             raise RuntimeError("unitig chaining failed to terminate")

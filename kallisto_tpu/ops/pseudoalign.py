@@ -47,6 +47,9 @@ class DeviceIndex(NamedTuple):
     kmer_fw: jnp.ndarray       # [N] bool  (hash order)
     kmer_block: jnp.ndarray    # [N] int32 (hash order)
     kmer_ec: jnp.ndarray       # [N] int32 EC row, -1 = empty/wildcard
+    # [ceil((NB+9)/8), 8] int32: block_ec padded to 8-wide rows (-1 pad);
+    # the anchor kernel fetches a verified stretch's ECs as two rows
+    block_ec8: jnp.ndarray
 
 
 class PaddedDeviceIndex(NamedTuple):
@@ -70,6 +73,7 @@ class PaddedDeviceIndex(NamedTuple):
     kmer_pos: jnp.ndarray     # [M*S] int32
     kmer_fw: jnp.ndarray      # [M*S] bool
     kmer_block: jnp.ndarray   # [M*S] int32
+    block_ec8: jnp.ndarray    # [ceil((NB+9)/8), 8] int32 (see DeviceIndex)
 
 
 _EMPTY_SLOT = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -107,6 +111,19 @@ def _mix64_jnp(x: jnp.ndarray) -> jnp.ndarray:
 def device_index_from_host(index):
     mk = _mix64_np(index.kmer_keys)
     assert not (mk == _EMPTY_SLOT).any(), "hash collided with empty sentinel"
+    # anchor-kernel invariant: block ids are unitig-major and consecutive
+    # ascending with position, so a verified unitig stretch maps to the
+    # contiguous block-id range [block(p_lo), block(p_hi)]
+    bu = index.block_uid
+    if bu.shape[0] > 1:
+        assert ((np.diff(bu.astype(np.int64)) > 0)
+                | (np.diff(index.block_start.astype(np.int64)) > 0)).all(), \
+            "mosaic blocks must be unitig-major, position-ascending"
+    NB = index.block_ec.shape[0]
+    nb8 = ((NB + 9) + 7) // 8
+    be8 = np.full(nb8 * 8, -1, np.int32)
+    be8[:NB] = index.block_ec
+    block_ec8 = jnp.asarray(be8.reshape(nb8, 8))
     order = np.argsort(mk)
     mk = mk[order]
     N = mk.shape[0]
@@ -149,6 +166,7 @@ def device_index_from_host(index):
             kmer_pos=jnp.asarray(scatter(index.kmer_pos[order], -1)),
             kmer_fw=jnp.asarray(scatter(index.kmer_fw[order], False)),
             kmer_block=jnp.asarray(scatter(kmer_block, -1)),
+            block_ec8=block_ec8,
         )
 
     return DeviceIndex(
@@ -159,6 +177,7 @@ def device_index_from_host(index):
         kmer_fw=jnp.asarray(index.kmer_fw[order]),
         kmer_block=jnp.asarray(kmer_block),
         kmer_ec=jnp.asarray(kmer_ec),
+        block_ec8=block_ec8,
     )
 
 

@@ -41,6 +41,11 @@ from ..ops.pseudoalign import (
     single_key_hash,
     unflatten_ck_host,
 )
+from ..ops.anchor import (
+    n_anchors_for,
+    pseudoalign_pair_anchor,
+    pseudoalign_single_anchor,
+)
 from ..ops.turbo import (
     make_aux,
     pseudoalign_pair_turbo,
@@ -503,9 +508,13 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 rl = _uniform_len(b1, b2)
                 aux = make_aux(b1.n, rl or 0, exc)
                 if aux is not None and rl is not None:
-                    r1, r2, ckflat = pseudoalign_pair_turbo(
+                    # two-wave anchor kernel: a few probes verify whole
+                    # unitig stretches; only failing reads pay full
+                    # window evaluation (ops/anchor.py)
+                    r1, r2, ckflat = pseudoalign_pair_anchor(
                         didx, _pad_rows(b1.packed, Bp),
                         _pad_rows(b2.packed, Bp), aux, k=k, L=b1.Lp,
+                        n_anchors=n_anchors_for(b1.Lp, k),
                     )
                     return ("turbo", b1, b2, r1, r2, ckflat)
                 if (aux is not None and int(b1.lens.max()) < 65536
@@ -706,8 +715,9 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 rl = _uniform_len(b1)
                 aux = make_aux(b1.n, rl or 0, exc)
                 if aux is not None and rl is not None:
-                    r1, ckflat = pseudoalign_single_turbo(
-                        didx, _pad_rows(b1.packed, Bp), aux, k=k, L=b1.Lp
+                    r1, ckflat = pseudoalign_single_anchor(
+                        didx, _pad_rows(b1.packed, Bp), aux, k=k, L=b1.Lp,
+                        n_anchors=n_anchors_for(b1.Lp, k),
                     )
                     return ("turbo", b1, r1, ckflat)
                 if aux is not None and int(b1.lens.max()) < 65536:
