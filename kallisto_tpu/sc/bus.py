@@ -43,15 +43,25 @@ from ..io.fastx import (
     _read_batch_to_packed,
     single_batches,
 )
+from ..ops.anchor import (
+    n_anchors_for,
+    pseudoalign_pair_anchor,
+    pseudoalign_single_anchor,
+)
 from ..ops.pseudoalign import device_index_from_host, pair_fragment_lengths
+from ..ops.turbo import make_aux
 from ..quant.ecmap import EcResolver
 from ..quant.filters import StrandFilter
 from ..quant.pipeline import (
     _SideArrays,
     _apply_overflow_fallback,
+    _bucket_size,
     _dispatch_side,
     _make_pair_fetcher,
     _make_single_fetcher,
+    _pad_rows,
+    _turbo_exceptions,
+    _uniform_len,
 )
 from ..ops.pseudoalign import pair_key_hash, single_key_hash
 from .technologies import BusOptions, parse_technology
@@ -870,6 +880,52 @@ class _BusRun:
             bc_hist_val, umi_hist_val, bound,
         )
 
+    def _anchor_pair(self, b1, b2):
+        """Fast path: the two-wave anchor kernel over a uniform-length
+        chunk (ops/anchor.py); None -> caller uses the per-window kernel.
+        A wave-2 budget overflow (n_uniq > max_keys) also falls back."""
+        if b1.Lp != b2.Lp:
+            return None
+        rl = _uniform_len(b1, b2)
+        if rl is None or rl < self.k:
+            return None
+        Bp = _bucket_size(b1.n, lo=1024)
+        exc = _turbo_exceptions((b1, b2), Bp)
+        if exc is None:
+            return None
+        aux = make_aux(b1.n, rl, exc)
+        if aux is None:
+            return None
+        max_keys = 32768
+        r1, r2, ck = pseudoalign_pair_anchor(
+            self.didx, _pad_rows(b1.packed, Bp), _pad_rows(b2.packed, Bp),
+            aux, k=self.k, L=b1.Lp, n_anchors=n_anchors_for(b1.Lp, self.k),
+            max_keys=max_keys,
+        )
+        if int(np.asarray(ck[-1, 0])) > max_keys:
+            return None
+        return r1, r2
+
+    def _anchor_single(self, b1):
+        rl = _uniform_len(b1)
+        if rl is None or rl < self.k:
+            return None
+        Bp = _bucket_size(b1.n, lo=1024)
+        exc = _turbo_exceptions((b1,), Bp)
+        if exc is None:
+            return None
+        aux = make_aux(b1.n, rl, exc)
+        if aux is None:
+            return None
+        max_keys = 32768
+        r1, ck = pseudoalign_single_anchor(
+            self.didx, _pad_rows(b1.packed, Bp), aux, k=self.k, L=b1.Lp,
+            n_anchors=n_anchors_for(b1.Lp, self.k), max_keys=max_keys,
+        )
+        if int(np.asarray(ck[-1, 0])) > max_keys:
+            return None
+        return r1
+
     # -- one chunk of reads from one batch --------------------------------
     def process_chunk(
         self,
@@ -1044,16 +1100,20 @@ class _BusRun:
 
         seq_subs = [bus.seq[0]] if bus.paired else bus.seq
         seq1 = _extract_seq(sub, seq_subs, start_override(seq_subs))
-        r1 = _dispatch_side(self.didx, _read_batch_to_packed(seq1, self.k),
-                            self.k)
+        b1p = _read_batch_to_packed(seq1, self.k)
         if bus.paired:
             so2 = start_override([bus.seq[1]])
             seq2 = _extract_seq(sub, [bus.seq[1]], so2)
-            r2 = _dispatch_side(
-                self.didx, _read_batch_to_packed(seq2, self.k), self.k
-            )
-            h = np.asarray(pair_key_hash(r1, r2))
-            s1, s2 = _SideArrays(r1), _SideArrays(r2)
+            b2p = _read_batch_to_packed(seq2, self.k)
+            fast = self._anchor_pair(b1p, b2p)
+            if fast is not None:
+                r1, r2 = fast
+            else:
+                r1 = _dispatch_side(self.didx, b1p, self.k)
+                r2 = _dispatch_side(self.didx, b2p, self.k)
+            n = b1p.n
+            h = np.asarray(pair_key_hash(r1, r2))[:n]
+            s1, s2 = _SideArrays(r1, n), _SideArrays(r2, n)
             read_uidx, uniq_sets = self.resolver.resolve_batch_hashed(
                 h, _make_pair_fetcher(r1, r2, s1, s2),
                 int(r1.rows.shape[1]), paired=True,
@@ -1061,12 +1121,18 @@ class _BusRun:
             )
             _apply_overflow_fallback(
                 self.resolver, self.index, read_uidx, uniq_sets,
-                opt.do_union, (s1, seq1), (s2, seq2),
+                opt.do_union, (s1, b1p), (s2, b2p),
             )
-            tl = np.asarray(pair_fragment_lengths(r1, r2, k=self.k))
+            tl = np.asarray(pair_fragment_lengths(r1, r2, k=self.k))[:n]
         else:
-            h = np.asarray(single_key_hash(r1))
-            s1 = _SideArrays(r1)
+            fast = self._anchor_single(b1p)
+            if fast is not None:
+                r1 = fast
+            else:
+                r1 = _dispatch_side(self.didx, b1p, self.k)
+            n = b1p.n
+            h = np.asarray(single_key_hash(r1))[:n]
+            s1 = _SideArrays(r1, n)
             s2 = None
             read_uidx, uniq_sets = self.resolver.resolve_batch_hashed(
                 h, _make_single_fetcher(r1, s1),
@@ -1075,7 +1141,7 @@ class _BusRun:
             )
             _apply_overflow_fallback(
                 self.resolver, self.index, read_uidx, uniq_sets,
-                opt.do_union, (s1, seq1), None,
+                opt.do_union, (s1, b1p), None,
             )
             tl = None
 
