@@ -197,10 +197,12 @@ def _apply_aux(packed_sides, aux, L: int):
 
 @partial(jax.jit, static_argnames=(
     "k", "L", "max_rows", "max_keys", "n_anchors", "wave2_denom",
+    "min_range", "strand_key",
 ))
 def pseudoalign_pair_anchor(
     didx, p1, p2, aux, k: int, L: int, max_rows: int = 16,
     max_keys: int = 32768, n_anchors: int = 2, wave2_denom: int = 4,
+    min_range: int = 0, strand_key: bool = False,
 ):
     B = p1.shape[0]
     codes, rlen, real = _apply_aux((p1, p2), aux, L)
@@ -209,7 +211,9 @@ def pseudoalign_pair_anchor(
     )
     r1 = SideResult(*(a[:B] for a in side))
     r2 = SideResult(*(a[B:] for a in side))
-    ck = compact_pair_keys(r1, r2, max_keys)
+    ck = compact_pair_keys(
+        r1, r2, max_keys, k=k, min_range=min_range, strand_key=strand_key
+    )
     ck = ck._replace(
         n_uniq=jnp.where(w2of, jnp.int32(max_keys + 1), ck.n_uniq)
     )
@@ -218,16 +222,20 @@ def pseudoalign_pair_anchor(
 
 @partial(jax.jit, static_argnames=(
     "k", "L", "max_rows", "max_keys", "n_anchors", "wave2_denom",
+    "min_range", "strand_key",
 ))
 def pseudoalign_single_anchor(
     didx, p1, aux, k: int, L: int, max_rows: int = 16,
     max_keys: int = 32768, n_anchors: int = 2, wave2_denom: int = 4,
+    min_range: int = 0, strand_key: bool = False,
 ):
     codes, rlen, real = _apply_aux((p1,), aux, L)
     side, w2of = _anchor_side(
         didx, codes, rlen, real, k, max_rows, n_anchors, wave2_denom
     )
-    ck = compact_single_keys(side, max_keys)
+    ck = compact_single_keys(
+        side, max_keys, k=k, min_range=min_range, strand_key=strand_key
+    )
     ck = ck._replace(
         n_uniq=jnp.where(w2of, jnp.int32(max_keys + 1), ck.n_uniq)
     )

@@ -442,18 +442,52 @@ def _side_flag_cols(s: SideResult):
     ]
 
 
+def _pair_flags(s1, s2, k: int, min_range: int):
+    """Base hit/overflow flags, plus per-mate min_range veto bits (16/32)
+    when a min_range filter is active (the veto is part of the read's key:
+    identical row sets with different support spans must not share a key).
+    reference: MinCollector::intersectECs range check, MinCollector.cpp:497."""
+    fl = (
+        s1.has_hits.astype(jnp.int32)
+        + 2 * s2.has_hits.astype(jnp.int32)
+        + 4 * s1.overflow.astype(jnp.int32)
+        + 8 * s2.overflow.astype(jnp.int32)
+    )
+    if min_range > 1:
+        v1 = s1.has_hits & (s1.rng + k < min_range)
+        v2 = s2.has_hits & (s2.rng + k < min_range)
+        fl = fl + 16 * v1.astype(jnp.int32) + 32 * v2.astype(jnp.int32)
+    return fl
+
+
+def _single_flags(s1, k: int, min_range: int):
+    fl = s1.has_hits.astype(jnp.int32) + 4 * s1.overflow.astype(jnp.int32)
+    if min_range > 1:
+        v1 = s1.has_hits & (s1.rng + k < min_range)
+        fl = fl + 16 * v1.astype(jnp.int32)
+    return fl
+
+
+def _strand_cols_pair(s1, s2):
+    """First-hit (block, strand) per mate: the inputs of the strand
+    filter, folded into the key so filtering is a per-KEY operation."""
+    return [
+        s1.f_block, s1.f_strand.astype(jnp.int32),
+        s2.f_block, s2.f_strand.astype(jnp.int32),
+    ]
+
+
+def _strand_cols_single(s1):
+    return [s1.f_block, s1.f_strand.astype(jnp.int32)]
+
+
 @jax.jit
 def pair_key_hash(s1: SideResult, s2: SideResult) -> jnp.ndarray:
     """128-bit key of (rows1, rows2, hit/overflow flags) per pair."""
     cols = (
         [s1.rows[:, i] for i in range(s1.rows.shape[1])]
         + [s2.rows[:, i] for i in range(s2.rows.shape[1])]
-        + [
-            s1.has_hits.astype(jnp.int32)
-            + 2 * s2.has_hits.astype(jnp.int32)
-            + 4 * s1.overflow.astype(jnp.int32)
-            + 8 * s2.overflow.astype(jnp.int32)
-        ]
+        + [_pair_flags(s1, s2, 0, 0)]
     )
     return _hash_columns_128(cols)
 
@@ -488,23 +522,36 @@ class CompactKeys(NamedTuple):
     n_uniq: jnp.ndarray      # [] int32
 
 
-@partial(jax.jit, static_argnames=("max_keys",))
-def compact_pair_keys(s1: SideResult, s2: SideResult, max_keys: int = 16384) -> CompactKeys:
-    h = pair_key_hash(s1, s2)
-    flags = (
-        s1.has_hits.astype(jnp.int32)
-        + 2 * s2.has_hits.astype(jnp.int32)
-        + 4 * s1.overflow.astype(jnp.int32)
-        + 8 * s2.overflow.astype(jnp.int32)
+@partial(jax.jit, static_argnames=("max_keys", "k", "min_range", "strand_key"))
+def compact_pair_keys(
+    s1: SideResult, s2: SideResult, max_keys: int = 16384,
+    k: int = 0, min_range: int = 0, strand_key: bool = False,
+) -> CompactKeys:
+    """Per-batch key histogram.  With min_range/strand_key the key is
+    extended by the filter inputs (veto bits; first-hit block+strand), so
+    per-read filters become per-key operations on the compact path."""
+    cols = (
+        [s1.rows[:, i] for i in range(s1.rows.shape[1])]
+        + [s2.rows[:, i] for i in range(s2.rows.shape[1])]
+        + [_pair_flags(s1, s2, k, min_range)]
+        + (_strand_cols_pair(s1, s2) if strand_key else [])
     )
-    return _compact_keys(h, flags, max_keys)
+    h = _hash_columns_128(cols)
+    return _compact_keys(h, cols[2 * s1.rows.shape[1]], max_keys)
 
 
-@partial(jax.jit, static_argnames=("max_keys",))
-def compact_single_keys(s1: SideResult, max_keys: int = 16384) -> CompactKeys:
-    h = single_key_hash(s1)
-    flags = s1.has_hits.astype(jnp.int32) + 4 * s1.overflow.astype(jnp.int32)
-    return _compact_keys(h, flags, max_keys)
+@partial(jax.jit, static_argnames=("max_keys", "k", "min_range", "strand_key"))
+def compact_single_keys(
+    s1: SideResult, max_keys: int = 16384,
+    k: int = 0, min_range: int = 0, strand_key: bool = False,
+) -> CompactKeys:
+    cols = (
+        [s1.rows[:, i] for i in range(s1.rows.shape[1])]
+        + [_single_flags(s1, k, min_range)]
+        + (_strand_cols_single(s1) if strand_key else [])
+    )
+    h = _hash_columns_128(cols)
+    return _compact_keys(h, cols[s1.rows.shape[1]], max_keys)
 
 
 def _compact_keys(h: jnp.ndarray, flags: jnp.ndarray, K: int) -> CompactKeys:
@@ -583,6 +630,8 @@ def pair_compact_core(
     L: int,
     max_rows: int = 16,
     max_keys: int = 16384,
+    min_range: int = 0,
+    strand_key: bool = False,
 ):
     """Fused steady-state pair step (traceable, not jitted): both mates
     pseudoaligned in one [2B] batch, reduced to a per-key histogram.
@@ -596,7 +645,9 @@ def pair_compact_core(
     r = _pseudoalign_core(didx, codes, lens, k, max_rows)
     r1 = SideResult(*(a[:B] for a in r))
     r2 = SideResult(*(a[B:] for a in r))
-    ck = compact_pair_keys(r1, r2, max_keys)
+    ck = compact_pair_keys(
+        r1, r2, max_keys, k=k, min_range=min_range, strand_key=strand_key
+    )
     return r1, r2, _ck_flat(ck)
 
 
@@ -609,9 +660,13 @@ def single_compact_core(
     L: int,
     max_rows: int = 16,
     max_keys: int = 16384,
+    min_range: int = 0,
+    strand_key: bool = False,
 ):
     r1 = _pseudoalign_core(didx, unpack_codes_device(p1, n1, L), l1, k, max_rows)
-    ck = compact_single_keys(r1, max_keys)
+    ck = compact_single_keys(
+        r1, max_keys, k=k, min_range=min_range, strand_key=strand_key
+    )
     return r1, _ck_flat(ck)
 
 

@@ -92,21 +92,27 @@ def _codes_and_lens(packed_sides, aux, lens, L: int):
 
 
 def pair_turbo_core(didx, p1, p2, aux, lens, k: int, L: int,
-                    max_rows: int, max_keys: int):
+                    max_rows: int, max_keys: int,
+                    min_range: int = 0, strand_key: bool = False):
     """Shared traced body (usable per-shard under shard_map)."""
     B = p1.shape[0]
     codes, lens_v = _codes_and_lens((p1, p2), aux, lens, L)
     r = _pseudoalign_core(didx, codes, lens_v, k, max_rows)
     r1 = SideResult(*(a[:B] for a in r))
     r2 = SideResult(*(a[B:] for a in r))
-    ck = compact_pair_keys(r1, r2, max_keys)
+    ck = compact_pair_keys(
+        r1, r2, max_keys, k=k, min_range=min_range, strand_key=strand_key
+    )
     return r1, r2, _ck_flat(ck)
 
 
-@partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
+@partial(jax.jit, static_argnames=(
+    "k", "L", "max_rows", "max_keys", "min_range", "strand_key"))
 def pseudoalign_pair_turbo(didx, p1, p2, aux, k: int, L: int,
-                           max_rows: int = 16, max_keys: int = 32768):
-    return pair_turbo_core(didx, p1, p2, aux, None, k, L, max_rows, max_keys)
+                           max_rows: int = 16, max_keys: int = 32768,
+                           min_range: int = 0, strand_key: bool = False):
+    return pair_turbo_core(didx, p1, p2, aux, None, k, L, max_rows, max_keys,
+                           min_range, strand_key)
 
 
 @partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
@@ -116,17 +122,23 @@ def pseudoalign_pair_turbo_varlen(didx, p1, p2, aux, lens, k: int, L: int,
 
 
 def single_turbo_core(didx, p1, aux, lens, k: int, L: int,
-                      max_rows: int, max_keys: int):
+                      max_rows: int, max_keys: int,
+                      min_range: int = 0, strand_key: bool = False):
     codes, lens_v = _codes_and_lens((p1,), aux, lens, L)
     r1 = _pseudoalign_core(didx, codes, lens_v, k, max_rows)
-    ck = compact_single_keys(r1, max_keys)
+    ck = compact_single_keys(
+        r1, max_keys, k=k, min_range=min_range, strand_key=strand_key
+    )
     return r1, _ck_flat(ck)
 
 
-@partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
+@partial(jax.jit, static_argnames=(
+    "k", "L", "max_rows", "max_keys", "min_range", "strand_key"))
 def pseudoalign_single_turbo(didx, p1, aux, k: int, L: int,
-                             max_rows: int = 16, max_keys: int = 32768):
-    return single_turbo_core(didx, p1, aux, None, k, L, max_rows, max_keys)
+                             max_rows: int = 16, max_keys: int = 32768,
+                             min_range: int = 0, strand_key: bool = False):
+    return single_turbo_core(didx, p1, aux, None, k, L, max_rows, max_keys,
+                             min_range, strand_key)
 
 
 @partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))

@@ -98,15 +98,17 @@ class MeshRunner:
 
     # -- sharded compact steps ----------------------------------------------
 
-    def _get_pair_fn(self, k: int, L: int, max_rows: int, max_keys: int):
-        key = (k, L, max_rows, max_keys)
+    def _get_pair_fn(self, k: int, L: int, max_rows: int, max_keys: int,
+                     min_range: int = 0, strand_key: bool = False):
+        key = (k, L, max_rows, max_keys, min_range, strand_key)
         f = self._pair_fns.get(key)
         if f is None:
             ax = self.axis
 
             def shard_fn(didx, p1, n1, l1, p2, n2, l2):
                 r1, r2, ckflat = pair_compact_core(
-                    didx, p1, n1, l1, p2, n2, l2, k, L, max_rows, max_keys
+                    didx, p1, n1, l1, p2, n2, l2, k, L, max_rows, max_keys,
+                    min_range, strand_key,
                 )
                 # leading length-1 axis stacks per-shard histograms into
                 # [ndev, K+1, 5] under out_specs P(axis)
@@ -123,15 +125,17 @@ class MeshRunner:
             self._pair_fns[key] = f
         return f
 
-    def _get_single_fn(self, k: int, L: int, max_rows: int, max_keys: int):
-        key = (k, L, max_rows, max_keys)
+    def _get_single_fn(self, k: int, L: int, max_rows: int, max_keys: int,
+                       min_range: int = 0, strand_key: bool = False):
+        key = (k, L, max_rows, max_keys, min_range, strand_key)
         f = self._single_fns.get(key)
         if f is None:
             ax = self.axis
 
             def shard_fn(didx, p1, n1, l1):
                 r1, ckflat = single_compact_core(
-                    didx, p1, n1, l1, k, L, max_rows, max_keys
+                    didx, p1, n1, l1, k, L, max_rows, max_keys,
+                    min_range, strand_key,
                 )
                 return r1, ckflat[None]
 
@@ -146,18 +150,24 @@ class MeshRunner:
             self._single_fns[key] = f
         return f
 
-    def pair_compact(self, didx, b1, b2, k: int, max_rows=16, max_keys=16384):
+    def pair_compact(self, didx, b1, b2, k: int, max_rows=16, max_keys=16384,
+                     min_range: int = 0, strand_key: bool = False):
         """Sharded fused pair step.  Returns (r1, r2, ckstack, shard_B):
         SideResults over the padded batch and the [ndev, K+1, 5] per-shard
-        key histograms; shard_B = reads per shard (for first_idx offsets)."""
+        key histograms; shard_B = reads per shard (for first_idx offsets).
+        min_range/strand_key extend the keys with filter inputs (see
+        ops/pseudoalign.py compact_pair_keys)."""
         p1, n1, l1 = self.put_batch(b1)
         p2, n2, l2 = self.put_batch(b2)
-        f = self._get_pair_fn(k, b1.Lp, max_rows, max_keys)
+        f = self._get_pair_fn(k, b1.Lp, max_rows, max_keys, min_range,
+                              strand_key)
         r1, r2, ckstack = f(didx, p1, n1, l1, p2, n2, l2)
         return r1, r2, ckstack, int(l1.shape[0]) // self.ndev
 
-    def single_compact(self, didx, b1, k: int, max_rows=16, max_keys=16384):
+    def single_compact(self, didx, b1, k: int, max_rows=16, max_keys=16384,
+                       min_range: int = 0, strand_key: bool = False):
         p1, n1, l1 = self.put_batch(b1)
-        f = self._get_single_fn(k, b1.Lp, max_rows, max_keys)
+        f = self._get_single_fn(k, b1.Lp, max_rows, max_keys, min_range,
+                                strand_key)
         r1, ckstack = f(didx, p1, n1, l1)
         return r1, ckstack, int(l1.shape[0]) // self.ndev

@@ -141,6 +141,13 @@ class EcResolver:
         # vectorized 128-bit key-hash -> EC id cache for the compact path
         # (-1 = resolves to no set); lookups/inserts are batch numpy ops
         self._ec_cache = _SortedCache128()
+        # optional per-key post-resolution filter for the compact path:
+        # fn(u, flags, tail_cols, paired) -> set | None.  Keys carry the
+        # filter inputs (min_range veto bits in flags; first-hit
+        # block/strand columns in the tail), so filtering per KEY equals
+        # filtering per read; plain (full-path) keys have no tail and no
+        # veto bits, making this a no-op there.
+        self.compact_postfilter = None
 
     # -- EC id management ------------------------------------------------
 
@@ -216,12 +223,19 @@ class EcResolver:
             rows2 = key[R : 2 * R]
             rows2 = rows2[rows2 != INT32_MAX]
             flags = int(key[2 * R])
+            tail = key[2 * R + 1 :]
             hits1, hits2 = bool(flags & 1), bool(flags & 2)
         else:
             rows2 = np.empty(0, np.int32)
-            hits1, hits2 = bool(int(key[R]) & 1), False
+            flags = int(key[R])
+            tail = key[R + 1 :]
+            hits1, hits2 = bool(flags & 1), False
 
         u = self.resolve_rows(rows1, hits1, rows2, hits2, paired, do_union)
+        if self.compact_postfilter is not None:
+            u = self.compact_postfilter(u, flags, tail, paired)
+            if u is not None and u.shape[0] == 0:
+                u = None
         self._key_cache[kb] = u
         return u
 

@@ -190,6 +190,26 @@ class StrandFilter:
         )
         _apply_keep(sel, keep, tx, pair_off, final_idx, final_sets, local)
 
+    def apply_one(
+        self,
+        u: np.ndarray,
+        has1: bool, fb1: int, fs1: bool,
+        has2: Optional[bool] = None, fb2: int = -1, fs2: bool = False,
+    ) -> Optional[np.ndarray]:
+        """Filter ONE transcript set (compact-path per-key application;
+        same semantics as apply_pair on a single read)."""
+        idx = np.zeros(1, np.int64)
+        if has2 is None:
+            fi, fs = self.apply_pair(
+                idx, [u], np.array([has1]), np.array([fb1]), np.array([fs1])
+            )
+        else:
+            fi, fs = self.apply_pair(
+                idx, [u], np.array([has1]), np.array([fb1]), np.array([fs1]),
+                np.array([has2]), np.array([fb2]), np.array([fs2]),
+            )
+        return fs[fi[0]]
+
     def apply_pair(
         self,
         read_uidx: np.ndarray,

@@ -9,6 +9,7 @@ batched device execution + deterministic host reductions.
 import os
 import sys
 import time
+from functools import partial
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
@@ -286,11 +287,15 @@ def _pad_pow2(n: int, lo: int = 64) -> int:
     return p
 
 
-def _make_pair_fetcher(r1, r2, s1: _SideArrays, s2: _SideArrays):
+def _make_pair_fetcher(r1, r2, s1: _SideArrays, s2: _SideArrays,
+                       k: int = 0, min_range: int = 0,
+                       strand_key: bool = False):
     """Exemplar fetcher: ONE device gather returns the row lists + flag
     column of first-seen keys (flags are gathered on device too -- pulling
     the full [B] has_hits/overflow vectors to the host costs four d2h
-    round-trips per batch under tunneled TPUs)."""
+    round-trips per batch under tunneled TPUs).  With min_range/strand_key
+    the exemplar reproduces the extended key layout exactly (veto bits in
+    flags; first-hit block/strand tail)."""
     import jax.numpy as jnp
 
     def fetch(idx: np.ndarray) -> np.ndarray:
@@ -298,34 +303,56 @@ def _make_pair_fetcher(r1, r2, s1: _SideArrays, s2: _SideArrays):
         idxp = np.zeros(pad, np.int64)
         idxp[: idx.shape[0]] = idx
         out = _gather_pair_exemplars(
-            r1.rows, r2.rows, r1.has_hits, r2.has_hits,
-            r1.overflow, r2.overflow, jnp.asarray(idxp),
+            r1, r2, jnp.asarray(idxp), k, min_range, strand_key
         )
         return np.asarray(out)[: idx.shape[0]]
 
     return fetch
 
 
-@jax.jit
-def _gather_pair_exemplars(rows1, rows2, hh1, hh2, ov1, ov2, idx):
+@partial(jax.jit, static_argnames=("k", "min_range", "strand_key"))
+def _gather_pair_exemplars(r1, r2, idx, k, min_range, strand_key):
     flags = (
-        hh1[idx].astype(jnp.int32)
-        + 2 * hh2[idx].astype(jnp.int32)
-        + 4 * ov1[idx].astype(jnp.int32)
-        + 8 * ov2[idx].astype(jnp.int32)
+        r1.has_hits[idx].astype(jnp.int32)
+        + 2 * r2.has_hits[idx].astype(jnp.int32)
+        + 4 * r1.overflow[idx].astype(jnp.int32)
+        + 8 * r2.overflow[idx].astype(jnp.int32)
     )
-    return jnp.concatenate(
-        [rows1[idx], rows2[idx], flags[:, None]], axis=1
+    if min_range > 1:
+        v1 = r1.has_hits[idx] & (r1.rng[idx] + k < min_range)
+        v2 = r2.has_hits[idx] & (r2.rng[idx] + k < min_range)
+        flags = flags + 16 * v1.astype(jnp.int32) + 32 * v2.astype(jnp.int32)
+    cols = [r1.rows[idx], r2.rows[idx], flags[:, None]]
+    if strand_key:
+        cols += [
+            r1.f_block[idx][:, None],
+            r1.f_strand[idx].astype(jnp.int32)[:, None],
+            r2.f_block[idx][:, None],
+            r2.f_strand[idx].astype(jnp.int32)[:, None],
+        ]
+    return jnp.concatenate(cols, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "min_range", "strand_key"))
+def _gather_single_exemplars(r1, idx, k, min_range, strand_key):
+    flags = (
+        r1.has_hits[idx].astype(jnp.int32)
+        + 4 * r1.overflow[idx].astype(jnp.int32)
     )
+    if min_range > 1:
+        v1 = r1.has_hits[idx] & (r1.rng[idx] + k < min_range)
+        flags = flags + 16 * v1.astype(jnp.int32)
+    cols = [r1.rows[idx], flags[:, None]]
+    if strand_key:
+        cols += [
+            r1.f_block[idx][:, None],
+            r1.f_strand[idx].astype(jnp.int32)[:, None],
+        ]
+    return jnp.concatenate(cols, axis=1)
 
 
-@jax.jit
-def _gather_single_exemplars(rows1, hh1, ov1, idx):
-    flags = hh1[idx].astype(jnp.int32) + 4 * ov1[idx].astype(jnp.int32)
-    return jnp.concatenate([rows1[idx], flags[:, None]], axis=1)
-
-
-def _make_single_fetcher(r1, s1: _SideArrays):
+def _make_single_fetcher(r1, s1: _SideArrays, k: int = 0,
+                         min_range: int = 0, strand_key: bool = False):
     import jax.numpy as jnp
 
     def fetch(idx: np.ndarray) -> np.ndarray:
@@ -333,11 +360,37 @@ def _make_single_fetcher(r1, s1: _SideArrays):
         idxp = np.zeros(pad, np.int64)
         idxp[: idx.shape[0]] = idx
         out = _gather_single_exemplars(
-            r1.rows, r1.has_hits, r1.overflow, jnp.asarray(idxp)
+            r1, jnp.asarray(idxp), k, min_range, strand_key
         )
         return np.asarray(out)[: idx.shape[0]]
 
     return fetch
+
+
+def _make_compact_postfilter(strand_filter):
+    """Per-key post-resolution filter for the compact path.
+
+    flags bits 16/32 = per-mate min_range veto (reference:
+    MinCollector::intersectECs range check, MinCollector.cpp:497-507);
+    the tail columns carry each mate's first-hit (block, strand) for the
+    strand filter.  Plain (full-path) keys have no tail and no veto bits,
+    so this is a no-op there."""
+
+    def post(u, flags, tail, paired):
+        if flags & 16 or flags & 32:
+            return None
+        if u is None or strand_filter is None or tail.shape[0] == 0:
+            return u
+        if paired:
+            return strand_filter.apply_one(
+                u, bool(flags & 1), int(tail[0]), bool(tail[1]),
+                bool(flags & 2), int(tail[2]), bool(tail[3]),
+            )
+        return strand_filter.apply_one(
+            u, bool(flags & 1), int(tail[0]), bool(tail[1])
+        )
+
+    return post
 
 
 def _apply_overflow_fallback(
@@ -482,6 +535,15 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     if opt.strand in ("fr", "rf"):
         strand_filter = StrandFilter(index, opt.strand)
 
+    # compact-path filter routing: strand / min_range become part of the
+    # per-read KEY (veto bits + first-hit block/strand columns) and are
+    # applied once per key by the resolver's postfilter, so these filters
+    # no longer force the slow per-read mode
+    mr_key = opt.min_range if opt.min_range > 1 else 0
+    sk = strand_filter is not None
+    if sk or mr_key:
+        resolver.compact_postfilter = _make_compact_postfilter(strand_filter)
+
     def dispatch_pair(b1: PackedBatch, b2: PackedBatch, want_fld: bool):
         """Enqueue one pair batch on the device (async); returns a context.
 
@@ -493,11 +555,10 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         """
         want_bias = opt.bias and bias_total < _BIAS_GOAL
         if (not want_fld and not want_bias and pos_filter is None
-                and strand_filter is None and opt.min_range <= 1
                 and pbam is None and b1.Lp == b2.Lp):
             if mesh is not None:
                 r1, r2, ckstack, shard_B = mesh.pair_compact(
-                    didx, b1, b2, k
+                    didx, b1, b2, k, min_range=mr_key, strand_key=sk
                 )
                 return ("cmesh", b1, b2, r1, r2, ckstack, shard_B)
             # -- turbo steady state: [W, B]-layout kernel, bucketed batch
@@ -515,6 +576,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                         didx, _pad_rows(b1.packed, Bp),
                         _pad_rows(b2.packed, Bp), aux, k=k, L=b1.Lp,
                         n_anchors=n_anchors_for(b1.Lp, k),
+                        min_range=mr_key, strand_key=sk,
                     )
                     return ("turbo", b1, b2, r1, r2, ckflat)
                 if (aux is not None and int(b1.lens.max()) < 65536
@@ -526,6 +588,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                     r1, r2, ckflat = pseudoalign_pair_turbo_varlen(
                         didx, _pad_rows(b1.packed, Bp),
                         _pad_rows(b2.packed, Bp), aux, lens, k=k, L=b1.Lp,
+                        min_range=mr_key, strand_key=sk,
                     )
                     return ("turbo", b1, b2, r1, r2, ckflat)
             # N-dense batch: legacy bitmask kernel in memory-bounded slices
@@ -536,6 +599,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 sr1, sr2, sck = pseudoalign_pair_compact_packed(
                     didx, sb1.packed, sb1.nmask, sb1.lens,
                     sb2.packed, sb2.nmask, sb2.lens, k=k, L=sb1.Lp,
+                    min_range=mr_key, strand_key=sk,
                 )
                 subs.append(("compact", sb1, sb2, sr1, sr2, sck))
             return ("multi", b1, subs)
@@ -570,7 +634,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 s1, s2 = _SideArrays(r1), _SideArrays(r2)
                 resolver.process_compact(
                     uniq_h, occ, first_idx,
-                    _make_pair_fetcher(r1, r2, s1, s2),
+                    _make_pair_fetcher(r1, r2, s1, s2, k, mr_key, sk),
                     int(r1.rows.shape[1]), paired=True,
                     do_union=opt.do_union,
                 )
@@ -604,7 +668,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             )
             if ok:
                 s1, s2 = _SideArrays(r1), _SideArrays(r2)
-                fetch = _make_pair_fetcher(r1, r2, s1, s2)
+                fetch = _make_pair_fetcher(r1, r2, s1, s2, k, mr_key, sk)
                 R = int(r1.rows.shape[1])
                 for s, (uniq_h, occ, first_idx, flags, n_uniq) in enumerate(
                     shards
@@ -628,7 +692,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 s1, s2 = _SideArrays(r1), _SideArrays(r2)
                 resolver.process_compact(
                     uniq_h, occ, first_idx,
-                    _make_pair_fetcher(r1, r2, s1, s2),
+                    _make_pair_fetcher(r1, r2, s1, s2, k, mr_key, sk),
                     int(r1.rows.shape[1]), paired=True, do_union=opt.do_union,
                 )
                 num_processed += b1.n
@@ -703,11 +767,12 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         import jax.numpy as jnp
 
         want_bias = opt.bias and bias_total < _BIAS_GOAL
-        if (pos_filter is None and strand_filter is None
-                and not opt.do_union and not want_bias
-                and opt.min_range <= 1 and pbam is None):
+        if (pos_filter is None and not opt.do_union and not want_bias
+                and pbam is None):
             if mesh is not None:
-                r1, ckstack, shard_B = mesh.single_compact(didx, b1, k)
+                r1, ckstack, shard_B = mesh.single_compact(
+                    didx, b1, k, min_range=mr_key, strand_key=sk
+                )
                 return ("cmesh", b1, r1, ckstack, shard_B)
             Bp = _bucket_size(b1.n)
             exc = _turbo_exceptions((b1,), Bp)
@@ -718,13 +783,14 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                     r1, ckflat = pseudoalign_single_anchor(
                         didx, _pad_rows(b1.packed, Bp), aux, k=k, L=b1.Lp,
                         n_anchors=n_anchors_for(b1.Lp, k),
+                        min_range=mr_key, strand_key=sk,
                     )
                     return ("turbo", b1, r1, ckflat)
                 if aux is not None and int(b1.lens.max()) < 65536:
                     r1, ckflat = pseudoalign_single_turbo_varlen(
                         didx, _pad_rows(b1.packed, Bp), aux,
                         _pad_rows(b1.lens.astype(np.uint16), Bp),
-                        k=k, L=b1.Lp,
+                        k=k, L=b1.Lp, min_range=mr_key, strand_key=sk,
                     )
                     return ("turbo", b1, r1, ckflat)
             subs = []
@@ -732,7 +798,8 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 hi = min(lo + _FALLBACK_CAP, b1.n)
                 sb1 = _slice_packed(b1, lo, hi)
                 sr1, sck = pseudoalign_single_compact_packed(
-                    didx, sb1.packed, sb1.nmask, sb1.lens, k=k, L=sb1.Lp
+                    didx, sb1.packed, sb1.nmask, sb1.lens, k=k, L=sb1.Lp,
+                    min_range=mr_key, strand_key=sk,
                 )
                 subs.append(("compact", sb1, sr1, sck))
             return ("multi", b1, subs)
@@ -763,7 +830,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 s1 = _SideArrays(r1)
                 resolver.process_compact(
                     uniq_h, occ, first_idx,
-                    _make_single_fetcher(r1, s1),
+                    _make_single_fetcher(r1, s1, k, mr_key, sk),
                     int(r1.rows.shape[1]), paired=False,
                     do_union=opt.do_union,
                 )
@@ -787,7 +854,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             )
             if ok:
                 s1 = _SideArrays(r1)
-                fetch = _make_single_fetcher(r1, s1)
+                fetch = _make_single_fetcher(r1, s1, k, mr_key, sk)
                 R = int(r1.rows.shape[1])
                 for s, (uniq_h, occ, first_idx, flags, n_uniq) in enumerate(
                     shards
@@ -810,7 +877,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 s1 = _SideArrays(r1)
                 resolver.process_compact(
                     uniq_h, occ, first_idx,
-                    _make_single_fetcher(r1, s1),
+                    _make_single_fetcher(r1, s1, k, mr_key, sk),
                     int(r1.rows.shape[1]), paired=False, do_union=opt.do_union,
                 )
                 num_processed += b1.n

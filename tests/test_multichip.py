@@ -94,3 +94,46 @@ def test_threads_maps_to_devices(data_dir, test_index, single_result):
     got = run_quant(opt, index=test_index)
     assert np.array_equal(got.counts, ref.counts)
     np.testing.assert_array_equal(got.est_counts, ref.est_counts)
+
+
+def test_sharded_stranded_parity(data_dir, test_index):
+    """--fr-stranded rides the compact mesh path: the strand filter's
+    inputs travel in the key (first-hit block/strand columns), so sharded
+    runs reproduce the single-device stranded result exactly."""
+    ref = _quant(data_dir, test_index, 1, strand="fr")
+    got = _quant(data_dir, test_index, 8, strand="fr")
+    assert got.num_pseudoaligned == ref.num_pseudoaligned
+    assert np.array_equal(got.counts, ref.counts)
+    for a, b in zip(got.ec_sets, ref.ec_sets):
+        assert np.array_equal(a, b)
+    np.testing.assert_array_equal(got.est_counts, ref.est_counts)
+
+
+def test_sharded_min_range_parity(data_dir, test_index):
+    """--min-range vetoes travel as key flag bits on the mesh path."""
+    ref = _quant(data_dir, test_index, 1, min_range=15)
+    got = _quant(data_dir, test_index, 8, min_range=15)
+    assert got.num_pseudoaligned == ref.num_pseudoaligned
+    assert np.array_equal(got.counts, ref.counts)
+    np.testing.assert_array_equal(got.est_counts, ref.est_counts)
+
+
+def test_stranded_matches_reference_golden(data_dir, test_index, golden_dir,
+                                           tmp_path):
+    """Compact-path stranded quant stays byte-identical to the reference
+    golden (the same oracle the full-path stranded tests pin)."""
+    from tests.conftest import read_abundance
+
+    out = str(tmp_path / "fr8")
+    opt = Options(
+        files=[
+            os.path.join(data_dir, "reads_1.fastq.gz"),
+            os.path.join(data_dir, "reads_2.fastq.gz"),
+        ],
+        strand="fr", n_devices=8, batch_size=1250,
+        output_dir=out, plaintext=True,
+    )
+    run_quant(opt, index=test_index)
+    mine = open(os.path.join(out, "abundance.tsv")).read()
+    want = open(os.path.join(golden_dir, "quant_fr", "abundance.tsv")).read()
+    assert mine == want
