@@ -54,7 +54,7 @@ def run_bootstraps(
     multi_b = resampled[:, problem.multi_ec_ids]
     inv_eff = 1.0 / eff_lens.astype(np.float64)
 
-    cpu = jax.devices("cpu")[0]
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         alpha, _, _ = _run_em_batch_jax(
             singleton_b,

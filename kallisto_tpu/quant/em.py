@@ -273,7 +273,7 @@ def run_em(
         jnp.asarray(problem.flat_ec),
         jnp.asarray(multi_counts),
     )
-    cpu = jax.devices("cpu")[0]
+    cpu = jax.local_devices(backend="cpu")[0]
     post_bias = None
     alpha_init = None if priors is None else jnp.asarray(priors, jnp.float64)
     with jax.default_device(cpu):

@@ -488,6 +488,28 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     start_time = time.strftime("%a %b %d %H:%M:%S %Y")
     if index is None:
         index = load_index(opt.index_path)
+
+    # multi-host DP: when jax.distributed is initialized, each host works
+    # a contiguous file shard and the EC maps are re-merged in rank order
+    # after counting (parallel/multihost.py) -- bit-identical to a
+    # single-process run over the full input
+    n_hosts = jax.process_count()
+    host_id = jax.process_index()
+    if n_hosts > 1:
+        from ..parallel.multihost import shard_files
+
+        opt = __import__("dataclasses").replace(
+            opt,
+            files=shard_files(list(opt.files), opt.paired, host_id, n_hosts),
+            output_dir=opt.output_dir if host_id == 0 else "",
+        )
+        if opt.pseudobam:
+            raise ValueError("--pseudobam is not supported in multi-host runs")
+        # pin unsharded (single-device) computations to a LOCAL chip:
+        # multi-process jit otherwise places them on global device 0,
+        # whose results other hosts cannot fetch.  Entered for the process
+        # lifetime on purpose -- everything after this point is per-host.
+        jax.default_device(jax.local_devices()[0]).__enter__()
     didx = device_index_from_host(index)
     resolver = EcResolver(index)
     k = index.k
@@ -1064,8 +1086,41 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         f"[quant] processed {num_processed:,} reads, "
         f"{resolver.num_mapped:,} reads pseudoaligned"
     )
-    if resolver.num_mapped == 0:
+    if resolver.num_mapped == 0 and n_hosts == 1:
         _log("[~warn] no reads pseudoaligned.")
+
+    if n_hosts > 1:
+        # deterministic cross-host merge: allgather the tiny per-host
+        # (set -> count) maps and re-merge in rank order == global read
+        # order, reproducing single-process EC numbering exactly.  FLD /
+        # bias histograms sum (with estimated FLD the first-10k subsample
+        # is per-host; pass -l/-s for bit-exact multi-host parity).
+        from jax.experimental import multihost_utils
+
+        from ..parallel.multihost import merge_host_ec_maps
+
+        merged_sets, merged_counts = merge_host_ec_maps(
+            resolver.ec_sets, resolver.counts_array()
+        )
+        resolver.ec_sets = merged_sets
+        resolver.counts = __import__(
+            "kallisto_tpu.quant.ecmap", fromlist=["_GrowCounts"]
+        )._GrowCounts()
+        for c in merged_counts:
+            resolver.counts.append(int(c))
+        resolver.num_mapped = int(merged_counts.sum())
+        sums = np.asarray(multihost_utils.process_allgather(
+            np.concatenate([[np.int64(num_processed)], flens,
+                            bias5, [np.int64(bias_total)]])
+        )).reshape(n_hosts, -1).sum(axis=0)
+        num_processed = int(sums[0])
+        flens = sums[1 : 1 + MAX_FRAG_LEN].astype(np.int64)
+        bias5 = sums[1 + MAX_FRAG_LEN : 1 + MAX_FRAG_LEN + NUM_6MERS]
+        bias_total = int(sums[-1])
+        _log(
+            f"[quant] multi-host merge: {n_hosts} hosts, "
+            f"{num_processed:,} reads total"
+        )
 
     # -- FLD post-processing (reference: main.cpp:2663-2681) --------------
     if opt.fld_mean == 0.0:

@@ -237,7 +237,7 @@ def run_quant_tcc(opt: Options, index=None, chunk: int = 256) -> TccResult:
     # PacBio-style long-read EM adds singleton counts after the loop
     # (reference: EMAlgorithm.h:111,224-357; ONT uses the standard loop)
     singletons_after = opt.long_read and opt.platform.upper() != "ONT"
-    cpu = jax.devices("cpu")[0]
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         for lo in range(0, C, chunk):
             hi = min(lo + chunk, C)
