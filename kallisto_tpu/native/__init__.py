@@ -22,19 +22,38 @@ _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 
 
+_STAMP = _LIB + ".flags"
+
+
+def _host_flags() -> str:
+    try:
+        return "avx2" if "avx2" in open("/proc/cpuinfo").read() else ""
+    except OSError:
+        return ""
+
+
 def _build() -> None:
+    flags = _host_flags()
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
         _SRC, "-o", _LIB, "-lz", "-pthread",
     ]
     # AVX2 pack fast path when the build host supports it (the fallback
     # scalar loop compiles everywhere)
-    try:
-        if "avx2" in open("/proc/cpuinfo").read():
-            cmd.insert(1, "-mavx2")
-    except OSError:
-        pass
+    if flags == "avx2":
+        cmd.insert(1, "-mavx2")
     subprocess.run(cmd, check=True, capture_output=True)
+    # record the ISA the binary was built for: a cached -mavx2 .so reused
+    # on a non-AVX2 host would SIGILL, so load() rebuilds on mismatch
+    with open(_STAMP, "w") as f:
+        f.write(flags)
+
+
+def _stamp_matches() -> bool:
+    try:
+        return open(_STAMP).read() == _host_flags()
+    except OSError:
+        return False
 
 
 def load() -> ctypes.CDLL:
@@ -44,7 +63,8 @@ def load() -> ctypes.CDLL:
         if _lib is not None:
             return _lib
         if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+                or not _stamp_matches()):
             _build()
         lib = ctypes.CDLL(_LIB)
         if lib.ktio_abi_version() != _ABI:

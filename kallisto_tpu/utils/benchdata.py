@@ -27,8 +27,16 @@ def _load_transcripts(fasta_path):
     from ..io.fastx import read_fasta
 
     seqs = []
+    rng = np.random.default_rng(7)
     for _, s in read_fasta(fasta_path):
-        seqs.append(BASE_CODE[np.frombuffer(s.encode(), np.uint8)])
+        c = BASE_CODE[np.frombuffer(s.encode(), np.uint8)]
+        # replace non-ACGT with random bases: code 4 would underflow the
+        # revcomp (3 - c) and error-injection arithmetic below
+        n = c >= 4
+        if n.any():
+            c = c.copy()
+            c[n] = rng.integers(0, 4, int(n.sum()), dtype=np.uint8)
+        seqs.append(c)
     return seqs
 
 
