@@ -89,6 +89,7 @@ class FastqStream:
         self._fh = _open_maybe_gz(path)
         self._tail = b""
         self._eof = False
+        self._records_out = 0
 
     def close(self):
         self._fh.close()
@@ -128,6 +129,24 @@ class FastqStream:
         lines = self._read_lines(n_records)
         if not lines:
             return None
+        # format guard (reference kseq silently mis-parses; we fail with a
+        # clear message): headers start with '@', separators with '+'
+        headers = lines[0::4]
+        seps = lines[2::4]
+        bad_h = next(
+            (i for i, h in enumerate(headers) if not h.startswith(b"@")), None
+        )
+        bad_s = next(
+            (i for i, p in enumerate(seps) if not p.startswith(b"+")), None
+        )
+        if bad_h is not None or bad_s is not None:
+            i = bad_h if bad_h is not None else bad_s
+            what = "header" if bad_h is not None else "separator"
+            raise ValueError(
+                f"malformed FASTQ record in {self.path} (record "
+                f"~{self._records_out + i}: bad {what} line)"
+            )
+        self._records_out += len(headers)
         seqs = lines[1::4]
         lens = np.fromiter((len(s) for s in seqs), dtype=np.int32, count=len(seqs))
         max_len = int(lens.max()) if len(lens) else 0

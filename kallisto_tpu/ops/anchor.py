@@ -19,7 +19,11 @@ as two 8-wide rows of block_ec8.  No per-window work at all.
 
 wave 2 -- reads that fail verification (any anchor miss, unitig
 junction, in-read N, block span > 16) are compacted into a fixed
-[B/wave2_denom] sub-batch and evaluated by the full branchless core.
+[B/wave2_denom] sub-batch and evaluated by the full branchless core
+(default denom 2: typical short-read data fails ~5-25% of reads from
+sequencing errors, junctions, and unmapped reads, and a half-size
+sub-batch still halves the per-window work while essentially never
+overflowing).
 If more reads fail than the sub-batch holds, the batch's key histogram
 is marked overflowed (n_uniq = max_keys + 1) and the host re-runs it
 through the legacy path -- the same fallback contract the turbo path
@@ -201,7 +205,7 @@ def _apply_aux(packed_sides, aux, L: int):
 ))
 def pseudoalign_pair_anchor(
     didx, p1, p2, aux, k: int, L: int, max_rows: int = 16,
-    max_keys: int = 32768, n_anchors: int = 2, wave2_denom: int = 4,
+    max_keys: int = 32768, n_anchors: int = 2, wave2_denom: int = 2,
     min_range: int = 0, strand_key: bool = False,
 ):
     B = p1.shape[0]
@@ -226,7 +230,7 @@ def pseudoalign_pair_anchor(
 ))
 def pseudoalign_single_anchor(
     didx, p1, aux, k: int, L: int, max_rows: int = 16,
-    max_keys: int = 32768, n_anchors: int = 2, wave2_denom: int = 4,
+    max_keys: int = 32768, n_anchors: int = 2, wave2_denom: int = 2,
     min_range: int = 0, strand_key: bool = False,
 ):
     codes, rlen, real = _apply_aux((p1,), aux, L)

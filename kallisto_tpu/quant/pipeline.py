@@ -961,6 +961,13 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     if opt.verbose:
         _log("")
     progress = _Progress(resolver)
+    # observability hooks (no reference counterpart; SURVEY section 5):
+    # KALLISTO_TPU_PROFILE=<dir> captures a JAX profiler trace of the read
+    # loop, and verbose runs report end-of-loop throughput
+    _prof_dir = os.environ.get("KALLISTO_TPU_PROFILE", "")
+    if _prof_dir:
+        jax.profiler.start_trace(_prof_dir)
+    _loop_t0 = time.time()
 
     novel_path = (
         os.path.join(opt.output_dir, "novel.fastq") if opt.output_dir else ""
@@ -1076,10 +1083,18 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             _drain_one()
 
     # completion summary (reference: ProcessReads.cpp:227-241)
+    if _prof_dir:
+        jax.profiler.stop_trace()
+    _loop_dt = time.time() - _loop_t0
     if opt.verbose or progress.printed:
         _log("\n[quant] done ")
     else:
         _log(" done")
+    if opt.verbose and _loop_dt > 0:
+        _log(
+            f"[quant] pseudoalignment throughput: "
+            f"{num_processed / _loop_dt:,.0f} reads/s"
+        )
     if opt.bias:
         _log("[quant] learning parameters for sequence specific bias")
     _log(

@@ -112,3 +112,36 @@ def test_native_plain_and_edge_cases(lib_ok, tmp_path):
         assert np.array_equal(b.row_codes(2)[:4], [0, 1, 2, 3])
         # pad region reads as N
         assert (b.row_codes(1)[4:] == 4).all()
+
+
+def test_malformed_fastq_raises_cleanly(tmp_path):
+    """Failure detection: malformed FASTQ reports file + record instead of
+    silently mis-parsing (reference kseq has no such guard)."""
+    import gzip
+
+    import pytest
+
+    from kallisto_tpu.io.fastx import single_batches
+
+    p = str(tmp_path / "bad.fastq.gz")
+    with gzip.open(p, "wt") as f:
+        f.write("@r1\nACGT\n+\nIIII\nr2-missing-at\nACGT\n+\nIIII\n")
+    with pytest.raises(ValueError, match="malformed FASTQ"):
+        list(single_batches(p, 100))
+
+
+def test_mismatched_pair_counts_raise(tmp_path):
+    import gzip
+
+    import pytest
+
+    from kallisto_tpu.io.fastx import paired_batches
+
+    p1 = str(tmp_path / "a.fastq.gz")
+    p2 = str(tmp_path / "b.fastq.gz")
+    with gzip.open(p1, "wt") as f:
+        f.write("@r1\nACGT\n+\nIIII\n@r2\nACGT\n+\nIIII\n")
+    with gzip.open(p2, "wt") as f:
+        f.write("@r1\nACGT\n+\nIIII\n")
+    with pytest.raises(ValueError, match="different record counts"):
+        list(paired_batches(p1, p2, 100))
