@@ -130,11 +130,13 @@ class FastqStream:
         if not lines:
             return None
         # format guard (reference kseq silently mis-parses; we fail with a
-        # clear message): headers start with '@', separators with '+'
+        # clear message). kseq skips leading junk until it sees '@' (so e.g.
+        # a "\\@name" header is accepted, src/kseq.h record-start scan); we
+        # accept any header containing '@' and require '+' separators.
         headers = lines[0::4]
         seps = lines[2::4]
         bad_h = next(
-            (i for i, h in enumerate(headers) if not h.startswith(b"@")), None
+            (i for i, h in enumerate(headers) if b"@" not in h), None
         )
         bad_s = next(
             (i for i, p in enumerate(seps) if not p.startswith(b"+")), None
