@@ -18,16 +18,17 @@ unitig-major and position-ascending -- asserted at index load), fetched
 as two 8-wide rows of block_ec8.  No per-window work at all.
 
 wave 2 -- reads that fail verification (any anchor miss, unitig
-junction, in-read N, block span > 16) are compacted into a fixed
-[B/wave2_denom] sub-batch and evaluated by the full branchless core
-(default denom 2: typical short-read data fails ~5-25% of reads from
-sequencing errors, junctions, and unmapped reads, and a half-size
-sub-batch still halves the per-window work while essentially never
-overflowing).
+junction, in-read N, block span > 16) are compacted into a fixed-size
+sub-batch and evaluated by the full branchless core.  The sub-batch
+capacity is `wave2_cap` rows (or B/wave2_denom when unset): the caller
+sizes it adaptively from each batch's reported failure count (the ck
+meta row carries n_fail; quant/pipeline.py keeps per-bucket hints), so
+steady state pays per-window work only for the reads that actually
+need it (~5-25% on typical short-read data).
 If more reads fail than the sub-batch holds, the batch's key histogram
 is marked overflowed (n_uniq = max_keys + 1) and the host re-runs it
-through the legacy path -- the same fallback contract the turbo path
-already has.
+through a branchless full pass -- the same fallback contract the turbo
+path already has.
 
 Semantics are identical to the exhaustive evaluation (the verified
 derivation is a theorem, not a heuristic); parity is pinned by
@@ -80,7 +81,7 @@ def _anchor_canon(codes: jnp.ndarray, w, k: int):
 
 
 def _anchor_side(didx, codes, rlen, real, k: int, max_rows: int,
-                 n_anchors: int, wave2_denom: int):
+                 n_anchors: int, wave2_cap: int):
     """One mate's anchor + wave-2 evaluation -> SideResult."""
     B2 = codes.shape[0]
     R = max_rows
@@ -139,14 +140,15 @@ def _anchor_side(didx, codes, rlen, real, k: int, max_rows: int,
 
     # ---- wave 2: compact failures into a fixed sub-batch ---------------
     fail = (~ok) & real & long_enough
-    Bf = max(B2 // wave2_denom, 1)
+    Bf = max(min(wave2_cap, B2), 1)
     order = jnp.argsort(~fail, stable=True)   # failures first, read order
     sel = order[:Bf]
     sfail = fail[sel]
     codes_f = codes[sel]
     lens_f = jnp.where(sfail, rlen, 0).astype(jnp.int32)
     core = _pseudoalign_core(didx, codes_f, lens_f, k, R)
-    w2_overflow = jnp.sum(fail) > Bf
+    n_fail = jnp.sum(fail)
+    w2_overflow = n_fail > Bf
 
     def merge(base, sub):
         cur = base[sel]
@@ -179,10 +181,10 @@ def _anchor_side(didx, codes, rlen, real, k: int, max_rows: int,
         f_uid=f_uid, f_block=f_block, f_upos=f_upos, f_rpos=f_rpos,
         f_strand=f_strand, rng=rng,
     )
-    return side, w2_overflow
+    return side, w2_overflow, n_fail
 
 
-def _apply_aux(packed_sides, aux, L: int):
+def _apply_aux(packed_sides, aux, L: int, rl: int = 0):
     B = packed_sides[0].shape[0]
     ns = len(packed_sides)
     codes = jnp.concatenate(
@@ -193,25 +195,35 @@ def _apply_aux(packed_sides, aux, L: int):
         codes.reshape(-1).at[exc].set(jnp.uint8(4), mode="drop")
         .reshape(ns * B, L)
     )
+    if 0 < rl < L:
+        # uniform read length known statically: drop the packed-row padding
+        # columns before any window work (see turbo._codes_and_lens)
+        codes = codes[:, :rl]
     rlen = aux[0].astype(jnp.int32)
     n_real = aux[1].astype(jnp.int32)
     real = (jnp.arange(ns * B, dtype=jnp.int32) % B) < n_real
     return codes, rlen, real
 
 
+def _wave2_cap(B2: int, wave2_cap, wave2_denom: int) -> int:
+    return wave2_cap if wave2_cap else max(B2 // wave2_denom, 1)
+
+
 @partial(jax.jit, static_argnames=(
     "k", "L", "max_rows", "max_keys", "n_anchors", "wave2_denom",
-    "min_range", "strand_key",
+    "min_range", "strand_key", "rl", "wave2_cap",
 ))
 def pseudoalign_pair_anchor(
     didx, p1, p2, aux, k: int, L: int, max_rows: int = 16,
     max_keys: int = 32768, n_anchors: int = 2, wave2_denom: int = 2,
     min_range: int = 0, strand_key: bool = False,
+    rl: int = 0, wave2_cap: int = 0,
 ):
     B = p1.shape[0]
-    codes, rlen, real = _apply_aux((p1, p2), aux, L)
-    side, w2of = _anchor_side(
-        didx, codes, rlen, real, k, max_rows, n_anchors, wave2_denom
+    codes, rlen, real = _apply_aux((p1, p2), aux, L, rl)
+    side, w2of, n_fail = _anchor_side(
+        didx, codes, rlen, real, k, max_rows, n_anchors,
+        _wave2_cap(2 * B, wave2_cap, wave2_denom),
     )
     r1 = SideResult(*(a[:B] for a in side))
     r2 = SideResult(*(a[B:] for a in side))
@@ -221,21 +233,23 @@ def pseudoalign_pair_anchor(
     ck = ck._replace(
         n_uniq=jnp.where(w2of, jnp.int32(max_keys + 1), ck.n_uniq)
     )
-    return r1, r2, _ck_flat(ck)
+    return r1, r2, _ck_flat(ck, n_fail=n_fail)
 
 
 @partial(jax.jit, static_argnames=(
     "k", "L", "max_rows", "max_keys", "n_anchors", "wave2_denom",
-    "min_range", "strand_key",
+    "min_range", "strand_key", "rl", "wave2_cap",
 ))
 def pseudoalign_single_anchor(
     didx, p1, aux, k: int, L: int, max_rows: int = 16,
     max_keys: int = 32768, n_anchors: int = 2, wave2_denom: int = 2,
     min_range: int = 0, strand_key: bool = False,
+    rl: int = 0, wave2_cap: int = 0,
 ):
-    codes, rlen, real = _apply_aux((p1,), aux, L)
-    side, w2of = _anchor_side(
-        didx, codes, rlen, real, k, max_rows, n_anchors, wave2_denom
+    codes, rlen, real = _apply_aux((p1,), aux, L, rl)
+    side, w2of, n_fail = _anchor_side(
+        didx, codes, rlen, real, k, max_rows, n_anchors,
+        _wave2_cap(p1.shape[0], wave2_cap, wave2_denom),
     )
     ck = compact_single_keys(
         side, max_keys, k=k, min_range=min_range, strand_key=strand_key
@@ -243,4 +257,4 @@ def pseudoalign_single_anchor(
     ck = ck._replace(
         n_uniq=jnp.where(w2of, jnp.int32(max_keys + 1), ck.n_uniq)
     )
-    return side, _ck_flat(ck)
+    return side, _ck_flat(ck, n_fail=n_fail)

@@ -68,8 +68,13 @@ def make_aux(
     return aux
 
 
-def _codes_and_lens(packed_sides, aux, lens, L: int):
-    """Unpack packed mates, scatter N markers, build masked lens vector."""
+def _codes_and_lens(packed_sides, aux, lens, L: int, rl: int = 0):
+    """Unpack packed mates, scatter N markers, build masked lens vector.
+
+    rl > 0 (the uniform read length, a static trace constant) trims the
+    code matrix to [*, rl] BEFORE window evaluation: packed rows pad L up
+    to a byte multiple, and every padding column would otherwise cost a
+    full per-window probe in the core (~23% of all gathers at 50 bp)."""
     B = packed_sides[0].shape[0]
     ns = len(packed_sides)
     codes = jnp.concatenate(
@@ -82,6 +87,8 @@ def _codes_and_lens(packed_sides, aux, lens, L: int):
         .set(jnp.uint8(4), mode="drop")
         .reshape(ns * B, L)
     )
+    if 0 < rl < L:
+        codes = codes[:, :rl]
     n_real = aux[1].astype(jnp.int32)
     side_idx = jnp.arange(B * ns, dtype=jnp.int32) % B
     if lens is None:
@@ -93,10 +100,11 @@ def _codes_and_lens(packed_sides, aux, lens, L: int):
 
 def pair_turbo_core(didx, p1, p2, aux, lens, k: int, L: int,
                     max_rows: int, max_keys: int,
-                    min_range: int = 0, strand_key: bool = False):
+                    min_range: int = 0, strand_key: bool = False,
+                    rl: int = 0):
     """Shared traced body (usable per-shard under shard_map)."""
     B = p1.shape[0]
-    codes, lens_v = _codes_and_lens((p1, p2), aux, lens, L)
+    codes, lens_v = _codes_and_lens((p1, p2), aux, lens, L, rl)
     r = _pseudoalign_core(didx, codes, lens_v, k, max_rows)
     r1 = SideResult(*(a[:B] for a in r))
     r2 = SideResult(*(a[B:] for a in r))
@@ -107,24 +115,30 @@ def pair_turbo_core(didx, p1, p2, aux, lens, k: int, L: int,
 
 
 @partial(jax.jit, static_argnames=(
-    "k", "L", "max_rows", "max_keys", "min_range", "strand_key"))
+    "k", "L", "max_rows", "max_keys", "min_range", "strand_key", "rl"))
 def pseudoalign_pair_turbo(didx, p1, p2, aux, k: int, L: int,
                            max_rows: int = 16, max_keys: int = 32768,
-                           min_range: int = 0, strand_key: bool = False):
+                           min_range: int = 0, strand_key: bool = False,
+                           rl: int = 0):
     return pair_turbo_core(didx, p1, p2, aux, None, k, L, max_rows, max_keys,
-                           min_range, strand_key)
+                           min_range, strand_key, rl)
 
 
-@partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
+@partial(jax.jit, static_argnames=(
+    "k", "L", "max_rows", "max_keys", "min_range", "strand_key"))
 def pseudoalign_pair_turbo_varlen(didx, p1, p2, aux, lens, k: int, L: int,
-                                  max_rows: int = 16, max_keys: int = 32768):
-    return pair_turbo_core(didx, p1, p2, aux, lens, k, L, max_rows, max_keys)
+                                  max_rows: int = 16, max_keys: int = 32768,
+                                  min_range: int = 0,
+                                  strand_key: bool = False):
+    return pair_turbo_core(didx, p1, p2, aux, lens, k, L, max_rows, max_keys,
+                           min_range, strand_key)
 
 
 def single_turbo_core(didx, p1, aux, lens, k: int, L: int,
                       max_rows: int, max_keys: int,
-                      min_range: int = 0, strand_key: bool = False):
-    codes, lens_v = _codes_and_lens((p1,), aux, lens, L)
+                      min_range: int = 0, strand_key: bool = False,
+                      rl: int = 0):
+    codes, lens_v = _codes_and_lens((p1,), aux, lens, L, rl)
     r1 = _pseudoalign_core(didx, codes, lens_v, k, max_rows)
     ck = compact_single_keys(
         r1, max_keys, k=k, min_range=min_range, strand_key=strand_key
@@ -133,15 +147,20 @@ def single_turbo_core(didx, p1, aux, lens, k: int, L: int,
 
 
 @partial(jax.jit, static_argnames=(
-    "k", "L", "max_rows", "max_keys", "min_range", "strand_key"))
+    "k", "L", "max_rows", "max_keys", "min_range", "strand_key", "rl"))
 def pseudoalign_single_turbo(didx, p1, aux, k: int, L: int,
                              max_rows: int = 16, max_keys: int = 32768,
-                             min_range: int = 0, strand_key: bool = False):
+                             min_range: int = 0, strand_key: bool = False,
+                             rl: int = 0):
     return single_turbo_core(didx, p1, aux, None, k, L, max_rows, max_keys,
-                             min_range, strand_key)
+                             min_range, strand_key, rl)
 
 
-@partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
+@partial(jax.jit, static_argnames=(
+    "k", "L", "max_rows", "max_keys", "min_range", "strand_key"))
 def pseudoalign_single_turbo_varlen(didx, p1, aux, lens, k: int, L: int,
-                                    max_rows: int = 16, max_keys: int = 32768):
-    return single_turbo_core(didx, p1, aux, lens, k, L, max_rows, max_keys)
+                                    max_rows: int = 16, max_keys: int = 32768,
+                                    min_range: int = 0,
+                                    strand_key: bool = False):
+    return single_turbo_core(didx, p1, aux, lens, k, L, max_rows, max_keys,
+                             min_range, strand_key)

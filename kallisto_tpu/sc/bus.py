@@ -62,8 +62,10 @@ from ..quant.pipeline import (
     _pad_rows,
     _turbo_exceptions,
     _uniform_len,
+    _w2_cap,
+    _w2_observe,
 )
-from ..ops.pseudoalign import pair_key_hash, single_key_hash
+from ..ops.pseudoalign import ck_n_fail, pair_key_hash, single_key_hash
 from .technologies import BusOptions, parse_technology
 
 BUS_VERSION = 1
@@ -897,12 +899,15 @@ class _BusRun:
         if aux is None:
             return None
         max_keys = 32768
+        cap = _w2_cap(2 * Bp)
         r1, r2, ck = pseudoalign_pair_anchor(
             self.didx, _pad_rows(b1.packed, Bp), _pad_rows(b2.packed, Bp),
-            aux, k=self.k, L=b1.Lp, n_anchors=n_anchors_for(b1.Lp, self.k),
-            max_keys=max_keys,
+            aux, k=self.k, L=b1.Lp, n_anchors=n_anchors_for(rl, self.k),
+            max_keys=max_keys, rl=rl, wave2_cap=cap,
         )
-        if int(np.asarray(ck[-1, 0])) > max_keys:
+        meta = np.asarray(ck[0])
+        _w2_observe(2 * Bp, int(meta[1]))
+        if int(meta[0]) > max_keys:
             return None
         return r1, r2
 
@@ -918,11 +923,15 @@ class _BusRun:
         if aux is None:
             return None
         max_keys = 32768
+        cap = _w2_cap(Bp)
         r1, ck = pseudoalign_single_anchor(
             self.didx, _pad_rows(b1.packed, Bp), aux, k=self.k, L=b1.Lp,
-            n_anchors=n_anchors_for(b1.Lp, self.k), max_keys=max_keys,
+            n_anchors=n_anchors_for(rl, self.k), max_keys=max_keys,
+            rl=rl, wave2_cap=cap,
         )
-        if int(np.asarray(ck[-1, 0])) > max_keys:
+        meta = np.asarray(ck[0])
+        _w2_observe(Bp, int(meta[1]))
+        if int(meta[0]) > max_keys:
             return None
         return r1
 
