@@ -51,6 +51,8 @@ from .pseudoalign import (
     compact_pair_keys,
     compact_single_keys,
     lookup_kmers,
+    pos_col_pair,
+    pos_filter_rank,
 )
 from .turbo import AUX_HEADER
 
@@ -211,13 +213,13 @@ def _wave2_cap(B2: int, wave2_cap, wave2_denom: int) -> int:
 
 @partial(jax.jit, static_argnames=(
     "k", "L", "max_rows", "max_keys", "n_anchors", "wave2_denom",
-    "min_range", "strand_key", "rl", "wave2_cap",
+    "min_range", "strand_key", "rl", "wave2_cap", "pos_fl", "pos_depth",
 ))
 def pseudoalign_pair_anchor(
     didx, p1, p2, aux, k: int, L: int, max_rows: int = 16,
     max_keys: int = 32768, n_anchors: int = 2, wave2_denom: int = 2,
     min_range: int = 0, strand_key: bool = False,
-    rl: int = 0, wave2_cap: int = 0,
+    rl: int = 0, wave2_cap: int = 0, pos_fl: int = -1, pos_depth: int = 0,
 ):
     B = p1.shape[0]
     codes, rlen, real = _apply_aux((p1, p2), aux, L, rl)
@@ -227,8 +229,12 @@ def pseudoalign_pair_anchor(
     )
     r1 = SideResult(*(a[:B] for a in side))
     r2 = SideResult(*(a[B:] for a in side))
+    pc = (
+        pos_col_pair(didx, r1, r2, pos_fl, pos_depth) if pos_fl >= 0 else None
+    )
     ck = compact_pair_keys(
-        r1, r2, max_keys, k=k, min_range=min_range, strand_key=strand_key
+        r1, r2, max_keys, k=k, min_range=min_range, strand_key=strand_key,
+        pos_col=pc,
     )
     ck = ck._replace(
         n_uniq=jnp.where(w2of, jnp.int32(max_keys + 1), ck.n_uniq)
@@ -238,21 +244,23 @@ def pseudoalign_pair_anchor(
 
 @partial(jax.jit, static_argnames=(
     "k", "L", "max_rows", "max_keys", "n_anchors", "wave2_denom",
-    "min_range", "strand_key", "rl", "wave2_cap",
+    "min_range", "strand_key", "rl", "wave2_cap", "pos_fl", "pos_depth",
 ))
 def pseudoalign_single_anchor(
     didx, p1, aux, k: int, L: int, max_rows: int = 16,
     max_keys: int = 32768, n_anchors: int = 2, wave2_denom: int = 2,
     min_range: int = 0, strand_key: bool = False,
-    rl: int = 0, wave2_cap: int = 0,
+    rl: int = 0, wave2_cap: int = 0, pos_fl: int = -1, pos_depth: int = 0,
 ):
     codes, rlen, real = _apply_aux((p1,), aux, L, rl)
     side, w2of, n_fail = _anchor_side(
         didx, codes, rlen, real, k, max_rows, n_anchors,
         _wave2_cap(p1.shape[0], wave2_cap, wave2_denom),
     )
+    pc = pos_filter_rank(didx, side, pos_fl, pos_depth) if pos_fl >= 0 else None
     ck = compact_single_keys(
-        side, max_keys, k=k, min_range=min_range, strand_key=strand_key
+        side, max_keys, k=k, min_range=min_range, strand_key=strand_key,
+        pos_col=pc,
     )
     ck = ck._replace(
         n_uniq=jnp.where(w2of, jnp.int32(max_keys + 1), ck.n_uniq)

@@ -15,7 +15,7 @@ no data-dependent shapes, fully jittable.
 """
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +50,11 @@ class DeviceIndex(NamedTuple):
     # [ceil((NB+9)/8), 8] int32: block_ec padded to 8-wide rows (-1 pad);
     # the anchor kernel fetches a verified stretch's ECs as two rows
     block_ec8: jnp.ndarray
+    # FLD position-filter threshold tables (None unless the run needs the
+    # filter; see pos_filter_rank): per-block sorted fl-independent bases,
+    # forward table then reverse table concatenated
+    pf_ptr: Optional[jnp.ndarray] = None   # [NB+1] int32 block offsets
+    pf_base: Optional[jnp.ndarray] = None  # [2*NP] int32
 
 
 class PaddedDeviceIndex(NamedTuple):
@@ -74,6 +79,8 @@ class PaddedDeviceIndex(NamedTuple):
     kmer_fw: jnp.ndarray      # [M*S] bool
     kmer_block: jnp.ndarray   # [M*S] int32
     block_ec8: jnp.ndarray    # [ceil((NB+9)/8), 8] int32 (see DeviceIndex)
+    pf_ptr: Optional[jnp.ndarray] = None   # see DeviceIndex
+    pf_base: Optional[jnp.ndarray] = None
 
 
 _EMPTY_SLOT = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -108,7 +115,77 @@ def _mix64_jnp(x: jnp.ndarray) -> jnp.ndarray:
     return x ^ (x >> jnp.uint64(31))
 
 
-def device_index_from_host(index):
+def pos_tables_from_host(index):
+    """Per-block sorted FLD-position-filter base tables (+ probe depth).
+
+    The filter's keep decision for transcript t via the first-hit k-mer in
+    block b reduces to a threshold test on one per-read scalar
+    (g- = upos - rpos for forward-mapping reads, g+ = upos + rpos for
+    reverse), with thresholds of the form base(b,t) -/+ fl where base is
+    fl-INDEPENDENT (see quant/filters.py FldPositionFilter, reference:
+    ProcessReads.cpp:1094-1136 + KmerIndex::findPosition,
+    src/KmerIndex.cpp:2174-2292).  Sorting each block's bases lets a
+    fixed-depth device binary search compute the read's RANK among them;
+    reads with equal (rows, block, strand, rank) provably share the
+    filtered set, so the rank makes the filter key-compactable.
+
+    Returns (pf_ptr [NB+1] int32, pf_base [2*NP] int32 fw||rv, depth).
+    """
+    NB = index.bp_ptr.shape[0] - 1
+    raw = index.bp_pos.astype(np.int64)
+    t0 = raw & 0x7FFFFFFF
+    trsense = (raw >> 31) == 0
+    lenT = index.target_lens[index.bp_tx].astype(np.int64)
+    rstart = index.bp_rstart.astype(np.int64)
+    rstop = index.bp_rstop.astype(np.int64)
+    k = index.k
+    # forward (csense=1): keep <=> g- <= base - fl
+    base_fw = np.where(trsense, lenT - (t0 - rstart) - 1, t0 + rstop - 1 + k)
+    # reverse (csense=0): keep <=> g+ >= base + fl
+    base_rv = np.where(trsense, -(t0 - rstart) - k, t0 + rstop - lenT)
+    blk = np.repeat(np.arange(NB, dtype=np.int64), np.diff(index.bp_ptr))
+    lim = np.int64(2**31 - 1)
+    fw = np.clip(base_fw, -lim, lim)[np.lexsort((base_fw, blk))]
+    rv = np.clip(base_rv, -lim, lim)[np.lexsort((base_rv, blk))]
+    cards = np.diff(index.bp_ptr)
+    maxc = int(cards.max()) if cards.shape[0] else 0
+    depth = max(int(np.ceil(np.log2(maxc + 1))), 1) if maxc else 1
+    return (
+        index.bp_ptr.astype(np.int32),
+        np.concatenate([fw, rv]).astype(np.int32),
+        depth,
+    )
+
+
+def pos_filter_rank(didx, s, fl: int, depth: int) -> jnp.ndarray:
+    """Device rank of a read's fragment coordinate among its first-hit
+    block's position-filter thresholds (-1 for no-hit reads).
+
+    Branchless fixed-depth binary search over the per-block sorted base
+    list; upper/lower-bound semantics are unified by the integer identity
+    #{x <= t} = #{x < t+1}."""
+    NP = didx.pf_base.shape[0] // 2
+    b = jnp.maximum(s.f_block, 0)
+    lo0 = didx.pf_ptr[b].astype(jnp.int32)
+    hi = didx.pf_ptr[b + 1].astype(jnp.int32)
+    off = jnp.where(s.f_strand, 0, NP).astype(jnp.int32)
+    target = jnp.where(
+        s.f_strand,
+        s.f_upos - s.f_rpos + fl,       # rank = #{base < g- + fl}
+        s.f_upos + s.f_rpos - fl + 1,   # rank = #{base <= g+ - fl}
+    )
+    lo = lo0
+    for _ in range(depth):
+        cond = lo < hi
+        mid = (lo + hi) >> 1
+        v = didx.pf_base[jnp.minimum(mid + off, 2 * NP - 1)]
+        right = cond & (v < target)
+        lo = jnp.where(right, mid + 1, lo)
+        hi = jnp.where(cond & ~right, mid, hi)
+    return jnp.where(s.has_hits, lo - lo0, -1).astype(jnp.int32)
+
+
+def device_index_from_host(index, with_pos_tables: bool = False):
     mk = _mix64_np(index.kmer_keys)
     assert not (mk == _EMPTY_SLOT).any(), "hash collided with empty sentinel"
     # anchor-kernel invariant: block ids are unitig-major and consecutive
@@ -144,6 +221,12 @@ def device_index_from_host(index):
         kmer_block >= 0, index.block_ec[np.maximum(kmer_block, 0)], -1
     ).astype(np.int32)
 
+    pf_ptr = pf_base = None
+    if with_pos_tables:
+        pf_ptr_np, pf_base_np, _ = pos_tables_from_host(index)
+        pf_ptr = jnp.asarray(pf_ptr_np)
+        pf_base = jnp.asarray(pf_base_np)
+
     S = 1 << max(int(np.ceil(np.log2(max(int(counts.max()), 1)))), 0)
     M = 1 << p
     if M * S * 16 <= _PADDED_BYTES_BUDGET:
@@ -167,6 +250,8 @@ def device_index_from_host(index):
             kmer_fw=jnp.asarray(scatter(index.kmer_fw[order], False)),
             kmer_block=jnp.asarray(scatter(kmer_block, -1)),
             block_ec8=block_ec8,
+            pf_ptr=pf_ptr,
+            pf_base=pf_base,
         )
 
     return DeviceIndex(
@@ -178,6 +263,8 @@ def device_index_from_host(index):
         kmer_block=jnp.asarray(kmer_block),
         kmer_ec=jnp.asarray(kmer_ec),
         block_ec8=block_ec8,
+        pf_ptr=pf_ptr,
+        pf_base=pf_base,
     )
 
 
@@ -522,19 +609,34 @@ class CompactKeys(NamedTuple):
     n_uniq: jnp.ndarray      # [] int32
 
 
+def pos_col_pair(didx, s1: SideResult, s2: SideResult, fl: int, depth: int):
+    """Pair key column for the FLD position filter: the filter applies
+    only when exactly one mate mapped (reference: ProcessReads.cpp:1094,
+    `!paired || v1.empty() || v2.empty()`); other reads get -1 so their
+    keys stay unsplit."""
+    applies = s1.has_hits ^ s2.has_hits
+    r1 = pos_filter_rank(didx, s1, fl, depth)
+    r2 = pos_filter_rank(didx, s2, fl, depth)
+    return jnp.where(applies, jnp.where(s1.has_hits, r1, r2), -1)
+
+
 @partial(jax.jit, static_argnames=("max_keys", "k", "min_range", "strand_key"))
 def compact_pair_keys(
     s1: SideResult, s2: SideResult, max_keys: int = 16384,
     k: int = 0, min_range: int = 0, strand_key: bool = False,
+    pos_col=None,
 ) -> CompactKeys:
-    """Per-batch key histogram.  With min_range/strand_key the key is
-    extended by the filter inputs (veto bits; first-hit block+strand), so
-    per-read filters become per-key operations on the compact path."""
+    """Per-batch key histogram.  With min_range/strand_key/pos_col the key
+    is extended by the filter inputs (veto bits; first-hit block+strand;
+    position-filter rank), so per-read filters become per-key operations
+    on the compact path."""
     cols = (
         [s1.rows[:, i] for i in range(s1.rows.shape[1])]
         + [s2.rows[:, i] for i in range(s2.rows.shape[1])]
         + [_pair_flags(s1, s2, k, min_range)]
-        + (_strand_cols_pair(s1, s2) if strand_key else [])
+        + (_strand_cols_pair(s1, s2)
+           if strand_key or pos_col is not None else [])
+        + ([pos_col] if pos_col is not None else [])
     )
     h = _hash_columns_128(cols)
     return _compact_keys(h, cols[2 * s1.rows.shape[1]], max_keys)
@@ -544,11 +646,14 @@ def compact_pair_keys(
 def compact_single_keys(
     s1: SideResult, max_keys: int = 16384,
     k: int = 0, min_range: int = 0, strand_key: bool = False,
+    pos_col=None,
 ) -> CompactKeys:
     cols = (
         [s1.rows[:, i] for i in range(s1.rows.shape[1])]
         + [_single_flags(s1, k, min_range)]
-        + (_strand_cols_single(s1) if strand_key else [])
+        + (_strand_cols_single(s1)
+           if strand_key or pos_col is not None else [])
+        + ([pos_col] if pos_col is not None else [])
     )
     h = _hash_columns_128(cols)
     return _compact_keys(h, cols[s1.rows.shape[1]], max_keys)
@@ -651,6 +756,8 @@ def pair_compact_core(
     max_keys: int = 16384,
     min_range: int = 0,
     strand_key: bool = False,
+    pos_fl: int = -1,
+    pos_depth: int = 0,
 ):
     """Fused steady-state pair step (traceable, not jitted): both mates
     pseudoaligned in one [2B] batch, reduced to a per-key histogram.
@@ -664,8 +771,12 @@ def pair_compact_core(
     r = _pseudoalign_core(didx, codes, lens, k, max_rows)
     r1 = SideResult(*(a[:B] for a in r))
     r2 = SideResult(*(a[B:] for a in r))
+    pc = (
+        pos_col_pair(didx, r1, r2, pos_fl, pos_depth) if pos_fl >= 0 else None
+    )
     ck = compact_pair_keys(
-        r1, r2, max_keys, k=k, min_range=min_range, strand_key=strand_key
+        r1, r2, max_keys, k=k, min_range=min_range, strand_key=strand_key,
+        pos_col=pc,
     )
     return r1, r2, _ck_flat(ck)
 
@@ -681,15 +792,21 @@ def single_compact_core(
     max_keys: int = 16384,
     min_range: int = 0,
     strand_key: bool = False,
+    pos_fl: int = -1,
+    pos_depth: int = 0,
 ):
     r1 = _pseudoalign_core(didx, unpack_codes_device(p1, n1, L), l1, k, max_rows)
+    pc = pos_filter_rank(didx, r1, pos_fl, pos_depth) if pos_fl >= 0 else None
     ck = compact_single_keys(
-        r1, max_keys, k=k, min_range=min_range, strand_key=strand_key
+        r1, max_keys, k=k, min_range=min_range, strand_key=strand_key,
+        pos_col=pc,
     )
     return r1, _ck_flat(ck)
 
 
-@partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
+@partial(jax.jit, static_argnames=(
+    "k", "L", "max_rows", "max_keys", "min_range", "strand_key",
+    "pos_fl", "pos_depth"))
 def pseudoalign_pair_compact_packed(
     didx: DeviceIndex,
     p1: jnp.ndarray,
@@ -702,9 +819,14 @@ def pseudoalign_pair_compact_packed(
     L: int,
     max_rows: int = 16,
     max_keys: int = 16384,
+    min_range: int = 0,
+    strand_key: bool = False,
+    pos_fl: int = -1,
+    pos_depth: int = 0,
 ):
     return pair_compact_core(
-        didx, p1, n1, l1, p2, n2, l2, k, L, max_rows, max_keys
+        didx, p1, n1, l1, p2, n2, l2, k, L, max_rows, max_keys,
+        min_range, strand_key, pos_fl, pos_depth
     )
 
 
@@ -824,7 +946,9 @@ def pseudoalign_single_compact_slim_varlen(
     return r1, _ck_flat(ck)
 
 
-@partial(jax.jit, static_argnames=("k", "L", "max_rows", "max_keys"))
+@partial(jax.jit, static_argnames=(
+    "k", "L", "max_rows", "max_keys", "min_range", "strand_key",
+    "pos_fl", "pos_depth"))
 def pseudoalign_single_compact_packed(
     didx: DeviceIndex,
     p1: jnp.ndarray,
@@ -834,8 +958,13 @@ def pseudoalign_single_compact_packed(
     L: int,
     max_rows: int = 16,
     max_keys: int = 16384,
+    min_range: int = 0,
+    strand_key: bool = False,
+    pos_fl: int = -1,
+    pos_depth: int = 0,
 ):
-    return single_compact_core(didx, p1, n1, l1, k, L, max_rows, max_keys)
+    return single_compact_core(didx, p1, n1, l1, k, L, max_rows, max_keys,
+                               min_range, strand_key, pos_fl, pos_depth)
 
 
 class LongResult(NamedTuple):

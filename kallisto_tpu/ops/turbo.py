@@ -37,6 +37,8 @@ from .pseudoalign import (
     _pseudoalign_core,
     compact_pair_keys,
     compact_single_keys,
+    pos_col_pair,
+    pos_filter_rank,
 )
 
 AUX_HEADER = 4
@@ -101,66 +103,79 @@ def _codes_and_lens(packed_sides, aux, lens, L: int, rl: int = 0):
 def pair_turbo_core(didx, p1, p2, aux, lens, k: int, L: int,
                     max_rows: int, max_keys: int,
                     min_range: int = 0, strand_key: bool = False,
-                    rl: int = 0):
+                    rl: int = 0, pos_fl: int = -1, pos_depth: int = 0):
     """Shared traced body (usable per-shard under shard_map)."""
     B = p1.shape[0]
     codes, lens_v = _codes_and_lens((p1, p2), aux, lens, L, rl)
     r = _pseudoalign_core(didx, codes, lens_v, k, max_rows)
     r1 = SideResult(*(a[:B] for a in r))
     r2 = SideResult(*(a[B:] for a in r))
+    pc = (
+        pos_col_pair(didx, r1, r2, pos_fl, pos_depth) if pos_fl >= 0 else None
+    )
     ck = compact_pair_keys(
-        r1, r2, max_keys, k=k, min_range=min_range, strand_key=strand_key
+        r1, r2, max_keys, k=k, min_range=min_range, strand_key=strand_key,
+        pos_col=pc,
     )
     return r1, r2, _ck_flat(ck)
 
 
 @partial(jax.jit, static_argnames=(
-    "k", "L", "max_rows", "max_keys", "min_range", "strand_key", "rl"))
+    "k", "L", "max_rows", "max_keys", "min_range", "strand_key", "rl",
+    "pos_fl", "pos_depth"))
 def pseudoalign_pair_turbo(didx, p1, p2, aux, k: int, L: int,
                            max_rows: int = 16, max_keys: int = 32768,
                            min_range: int = 0, strand_key: bool = False,
-                           rl: int = 0):
+                           rl: int = 0, pos_fl: int = -1, pos_depth: int = 0):
     return pair_turbo_core(didx, p1, p2, aux, None, k, L, max_rows, max_keys,
-                           min_range, strand_key, rl)
+                           min_range, strand_key, rl, pos_fl, pos_depth)
 
 
 @partial(jax.jit, static_argnames=(
-    "k", "L", "max_rows", "max_keys", "min_range", "strand_key"))
+    "k", "L", "max_rows", "max_keys", "min_range", "strand_key",
+    "pos_fl", "pos_depth"))
 def pseudoalign_pair_turbo_varlen(didx, p1, p2, aux, lens, k: int, L: int,
                                   max_rows: int = 16, max_keys: int = 32768,
                                   min_range: int = 0,
-                                  strand_key: bool = False):
+                                  strand_key: bool = False,
+                                  pos_fl: int = -1, pos_depth: int = 0):
     return pair_turbo_core(didx, p1, p2, aux, lens, k, L, max_rows, max_keys,
-                           min_range, strand_key)
+                           min_range, strand_key, 0, pos_fl, pos_depth)
 
 
 def single_turbo_core(didx, p1, aux, lens, k: int, L: int,
                       max_rows: int, max_keys: int,
                       min_range: int = 0, strand_key: bool = False,
-                      rl: int = 0):
+                      rl: int = 0, pos_fl: int = -1, pos_depth: int = 0):
     codes, lens_v = _codes_and_lens((p1,), aux, lens, L, rl)
     r1 = _pseudoalign_core(didx, codes, lens_v, k, max_rows)
+    pc = pos_filter_rank(didx, r1, pos_fl, pos_depth) if pos_fl >= 0 else None
     ck = compact_single_keys(
-        r1, max_keys, k=k, min_range=min_range, strand_key=strand_key
+        r1, max_keys, k=k, min_range=min_range, strand_key=strand_key,
+        pos_col=pc,
     )
     return r1, _ck_flat(ck)
 
 
 @partial(jax.jit, static_argnames=(
-    "k", "L", "max_rows", "max_keys", "min_range", "strand_key", "rl"))
+    "k", "L", "max_rows", "max_keys", "min_range", "strand_key", "rl",
+    "pos_fl", "pos_depth"))
 def pseudoalign_single_turbo(didx, p1, aux, k: int, L: int,
                              max_rows: int = 16, max_keys: int = 32768,
                              min_range: int = 0, strand_key: bool = False,
-                             rl: int = 0):
+                             rl: int = 0, pos_fl: int = -1,
+                             pos_depth: int = 0):
     return single_turbo_core(didx, p1, aux, None, k, L, max_rows, max_keys,
-                             min_range, strand_key, rl)
+                             min_range, strand_key, rl, pos_fl, pos_depth)
 
 
 @partial(jax.jit, static_argnames=(
-    "k", "L", "max_rows", "max_keys", "min_range", "strand_key"))
+    "k", "L", "max_rows", "max_keys", "min_range", "strand_key",
+    "pos_fl", "pos_depth"))
 def pseudoalign_single_turbo_varlen(didx, p1, aux, lens, k: int, L: int,
                                     max_rows: int = 16, max_keys: int = 32768,
                                     min_range: int = 0,
-                                    strand_key: bool = False):
+                                    strand_key: bool = False,
+                                    pos_fl: int = -1, pos_depth: int = 0):
     return single_turbo_core(didx, p1, aux, lens, k, L, max_rows, max_keys,
-                             min_range, strand_key)
+                             min_range, strand_key, 0, pos_fl, pos_depth)

@@ -99,8 +99,10 @@ class MeshRunner:
     # -- sharded compact steps ----------------------------------------------
 
     def _get_pair_fn(self, k: int, L: int, max_rows: int, max_keys: int,
-                     min_range: int = 0, strand_key: bool = False):
-        key = (k, L, max_rows, max_keys, min_range, strand_key)
+                     min_range: int = 0, strand_key: bool = False,
+                     pos_fl: int = -1, pos_depth: int = 0):
+        key = (k, L, max_rows, max_keys, min_range, strand_key,
+               pos_fl, pos_depth)
         f = self._pair_fns.get(key)
         if f is None:
             ax = self.axis
@@ -108,7 +110,7 @@ class MeshRunner:
             def shard_fn(didx, p1, n1, l1, p2, n2, l2):
                 r1, r2, ckflat = pair_compact_core(
                     didx, p1, n1, l1, p2, n2, l2, k, L, max_rows, max_keys,
-                    min_range, strand_key,
+                    min_range, strand_key, pos_fl, pos_depth,
                 )
                 # leading length-1 axis stacks per-shard histograms into
                 # [ndev, K+1, 5] under out_specs P(axis)
@@ -126,8 +128,10 @@ class MeshRunner:
         return f
 
     def _get_single_fn(self, k: int, L: int, max_rows: int, max_keys: int,
-                       min_range: int = 0, strand_key: bool = False):
-        key = (k, L, max_rows, max_keys, min_range, strand_key)
+                       min_range: int = 0, strand_key: bool = False,
+                       pos_fl: int = -1, pos_depth: int = 0):
+        key = (k, L, max_rows, max_keys, min_range, strand_key,
+               pos_fl, pos_depth)
         f = self._single_fns.get(key)
         if f is None:
             ax = self.axis
@@ -135,7 +139,7 @@ class MeshRunner:
             def shard_fn(didx, p1, n1, l1):
                 r1, ckflat = single_compact_core(
                     didx, p1, n1, l1, k, L, max_rows, max_keys,
-                    min_range, strand_key,
+                    min_range, strand_key, pos_fl, pos_depth,
                 )
                 return r1, ckflat[None]
 
@@ -151,23 +155,25 @@ class MeshRunner:
         return f
 
     def pair_compact(self, didx, b1, b2, k: int, max_rows=16, max_keys=16384,
-                     min_range: int = 0, strand_key: bool = False):
+                     min_range: int = 0, strand_key: bool = False,
+                     pos_fl: int = -1, pos_depth: int = 0):
         """Sharded fused pair step.  Returns (r1, r2, ckstack, shard_B):
         SideResults over the padded batch and the [ndev, K+1, 5] per-shard
         key histograms; shard_B = reads per shard (for first_idx offsets).
-        min_range/strand_key extend the keys with filter inputs (see
+        min_range/strand_key/pos_* extend the keys with filter inputs (see
         ops/pseudoalign.py compact_pair_keys)."""
         p1, n1, l1 = self.put_batch(b1)
         p2, n2, l2 = self.put_batch(b2)
         f = self._get_pair_fn(k, b1.Lp, max_rows, max_keys, min_range,
-                              strand_key)
+                              strand_key, pos_fl, pos_depth)
         r1, r2, ckstack = f(didx, p1, n1, l1, p2, n2, l2)
         return r1, r2, ckstack, int(l1.shape[0]) // self.ndev
 
     def single_compact(self, didx, b1, k: int, max_rows=16, max_keys=16384,
-                       min_range: int = 0, strand_key: bool = False):
+                       min_range: int = 0, strand_key: bool = False,
+                       pos_fl: int = -1, pos_depth: int = 0):
         p1, n1, l1 = self.put_batch(b1)
         f = self._get_single_fn(k, b1.Lp, max_rows, max_keys, min_range,
-                                strand_key)
+                                strand_key, pos_fl, pos_depth)
         r1, ckstack = f(didx, p1, n1, l1)
         return r1, ckstack, int(l1.shape[0]) // self.ndev

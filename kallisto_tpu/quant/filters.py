@@ -103,6 +103,19 @@ class FldPositionFilter:
         self.fl = fl
         self.target_lens = index.target_lens.astype(np.int64)
 
+    def apply_one(
+        self, u: np.ndarray, block: int, strand: bool, upos: int, rpos: int
+    ) -> Optional[np.ndarray]:
+        """Filter ONE transcript set (compact-path per-key application:
+        keys carry (block, strand, upos/rpos rank), so every read sharing
+        the key provably shares this exact filtered outcome)."""
+        fi, fs = self.apply(
+            np.zeros(1, np.int64), [u], np.ones(1, bool),
+            np.array([block]), np.array([upos]), np.array([rpos]),
+            np.array([strand], bool),
+        )
+        return fs[fi[0]]
+
     def apply(
         self,
         read_uidx: np.ndarray,

@@ -217,7 +217,7 @@ def _pad_rows(a: np.ndarray, Bp: int) -> np.ndarray:
 # Adaptive anchor wave-2 capacity: persistent per-(2*Bp) failure-count
 # hints keep the wave-2 sub-batch sized to the data's real anchor-failure
 # rate (sequencing errors + junction reads) instead of a fixed 50%.
-# Quantized to 1/16ths of the batch so jit variants stay bounded; the
+# Quantized to 1/32nds of the batch so jit variants stay bounded; the
 # dict outlives run_quant so repeated runs (and the bench's measured pass
 # after its warmup) start warm.
 _W2_HINTS: dict = {}
@@ -229,8 +229,8 @@ def _w2_cap(B2: int) -> int:
     hint = _W2_HINTS.get(B2)
     if hint is None:
         return B2 // 2
-    q = max(B2 // 16, 1)
-    return min(max(-(-int(hint * 1.25) // q) * q, q), B2)
+    q = max(B2 // 32, 1)
+    return min(max(-(-int(hint * 1.15) // q) * q, q), B2)
 
 
 def _w2_observe(B2: int, n_fail: int) -> None:
@@ -336,13 +336,14 @@ def _pad_pow2(n: int, lo: int = 64) -> int:
 
 def _make_pair_fetcher(r1, r2, s1: _SideArrays, s2: _SideArrays,
                        k: int = 0, min_range: int = 0,
-                       strand_key: bool = False):
+                       strand_key: bool = False, pos_key: bool = False):
     """Exemplar fetcher: ONE device gather returns the row lists + flag
     column of first-seen keys (flags are gathered on device too -- pulling
     the full [B] has_hits/overflow vectors to the host costs four d2h
-    round-trips per batch under tunneled TPUs).  With min_range/strand_key
-    the exemplar reproduces the extended key layout exactly (veto bits in
-    flags; first-hit block/strand tail)."""
+    round-trips per batch under tunneled TPUs).  With min_range/strand_key/
+    pos_key the exemplar reproduces the extended key layout exactly (veto
+    bits in flags; first-hit block/strand tail; upos/rpos tail for the
+    FLD position filter)."""
     import jax.numpy as jnp
 
     def fetch(idx: np.ndarray) -> np.ndarray:
@@ -350,15 +351,16 @@ def _make_pair_fetcher(r1, r2, s1: _SideArrays, s2: _SideArrays,
         idxp = np.zeros(pad, np.int64)
         idxp[: idx.shape[0]] = idx
         out = _gather_pair_exemplars(
-            r1, r2, jnp.asarray(idxp), k, min_range, strand_key
+            r1, r2, jnp.asarray(idxp), k, min_range, strand_key, pos_key
         )
         return np.asarray(out)[: idx.shape[0]]
 
     return fetch
 
 
-@partial(jax.jit, static_argnames=("k", "min_range", "strand_key"))
-def _gather_pair_exemplars(r1, r2, idx, k, min_range, strand_key):
+@partial(jax.jit, static_argnames=("k", "min_range", "strand_key", "pos_key"))
+def _gather_pair_exemplars(r1, r2, idx, k, min_range, strand_key,
+                           pos_key=False):
     flags = (
         r1.has_hits[idx].astype(jnp.int32)
         + 2 * r2.has_hits[idx].astype(jnp.int32)
@@ -370,18 +372,24 @@ def _gather_pair_exemplars(r1, r2, idx, k, min_range, strand_key):
         v2 = r2.has_hits[idx] & (r2.rng[idx] + k < min_range)
         flags = flags + 16 * v1.astype(jnp.int32) + 32 * v2.astype(jnp.int32)
     cols = [r1.rows[idx], r2.rows[idx], flags[:, None]]
-    if strand_key:
+    if strand_key or pos_key:
         cols += [
             r1.f_block[idx][:, None],
             r1.f_strand[idx].astype(jnp.int32)[:, None],
             r2.f_block[idx][:, None],
             r2.f_strand[idx].astype(jnp.int32)[:, None],
         ]
+    if pos_key:
+        cols += [
+            r1.f_upos[idx][:, None], r1.f_rpos[idx][:, None],
+            r2.f_upos[idx][:, None], r2.f_rpos[idx][:, None],
+        ]
     return jnp.concatenate(cols, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k", "min_range", "strand_key"))
-def _gather_single_exemplars(r1, idx, k, min_range, strand_key):
+@partial(jax.jit, static_argnames=("k", "min_range", "strand_key", "pos_key"))
+def _gather_single_exemplars(r1, idx, k, min_range, strand_key,
+                             pos_key=False):
     flags = (
         r1.has_hits[idx].astype(jnp.int32)
         + 4 * r1.overflow[idx].astype(jnp.int32)
@@ -390,16 +398,19 @@ def _gather_single_exemplars(r1, idx, k, min_range, strand_key):
         v1 = r1.has_hits[idx] & (r1.rng[idx] + k < min_range)
         flags = flags + 16 * v1.astype(jnp.int32)
     cols = [r1.rows[idx], flags[:, None]]
-    if strand_key:
+    if strand_key or pos_key:
         cols += [
             r1.f_block[idx][:, None],
             r1.f_strand[idx].astype(jnp.int32)[:, None],
         ]
+    if pos_key:
+        cols += [r1.f_upos[idx][:, None], r1.f_rpos[idx][:, None]]
     return jnp.concatenate(cols, axis=1)
 
 
 def _make_single_fetcher(r1, s1: _SideArrays, k: int = 0,
-                         min_range: int = 0, strand_key: bool = False):
+                         min_range: int = 0, strand_key: bool = False,
+                         pos_key: bool = False):
     import jax.numpy as jnp
 
     def fetch(idx: np.ndarray) -> np.ndarray:
@@ -407,35 +418,56 @@ def _make_single_fetcher(r1, s1: _SideArrays, k: int = 0,
         idxp = np.zeros(pad, np.int64)
         idxp[: idx.shape[0]] = idx
         out = _gather_single_exemplars(
-            r1, jnp.asarray(idxp), k, min_range, strand_key
+            r1, jnp.asarray(idxp), k, min_range, strand_key, pos_key
         )
         return np.asarray(out)[: idx.shape[0]]
 
     return fetch
 
 
-def _make_compact_postfilter(strand_filter):
+def _make_compact_postfilter(strand_filter, pos_filter=None):
     """Per-key post-resolution filter for the compact path.
 
     flags bits 16/32 = per-mate min_range veto (reference:
     MinCollector::intersectECs range check, MinCollector.cpp:497-507);
-    the tail columns carry each mate's first-hit (block, strand) for the
-    strand filter.  Plain (full-path) keys have no tail and no veto bits,
-    so this is a no-op there."""
+    the tail columns carry each mate's first-hit (block, strand) [+
+    (upos, rpos) when the FLD position filter is active] so both filters
+    are per-KEY operations.  Filter order matches the reference: position
+    feasibility first, then strand specificity
+    (ProcessReads.cpp:1094-1176).  Plain (full-path) keys have no tail
+    and no veto bits, so this is a no-op there."""
 
     def post(u, flags, tail, paired):
         if flags & 16 or flags & 32:
             return None
-        if u is None or strand_filter is None or tail.shape[0] == 0:
+        if u is None or tail.shape[0] == 0:
             return u
         if paired:
-            return strand_filter.apply_one(
-                u, bool(flags & 1), int(tail[0]), bool(tail[1]),
-                bool(flags & 2), int(tail[2]), bool(tail[3]),
+            if pos_filter is not None and bool(flags & 1) != bool(flags & 2):
+                m = 0 if flags & 1 else 1
+                u = pos_filter.apply_one(
+                    u, int(tail[2 * m]), bool(tail[2 * m + 1]),
+                    int(tail[4 + 2 * m]), int(tail[5 + 2 * m]),
+                )
+                if u is None or u.shape[0] == 0:
+                    return None
+            if strand_filter is not None:
+                u = strand_filter.apply_one(
+                    u, bool(flags & 1), int(tail[0]), bool(tail[1]),
+                    bool(flags & 2), int(tail[2]), bool(tail[3]),
+                )
+            return u
+        if pos_filter is not None and flags & 1:
+            u = pos_filter.apply_one(
+                u, int(tail[0]), bool(tail[1]), int(tail[2]), int(tail[3])
             )
-        return strand_filter.apply_one(
-            u, bool(flags & 1), int(tail[0]), bool(tail[1])
-        )
+            if u is None or u.shape[0] == 0:
+                return None
+        if strand_filter is not None:
+            u = strand_filter.apply_one(
+                u, bool(flags & 1), int(tail[0]), bool(tail[1])
+            )
+        return u
 
     return post
 
@@ -557,7 +589,11 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         # whose results other hosts cannot fetch.  Entered for the process
         # lifetime on purpose -- everything after this point is per-host.
         jax.default_device(jax.local_devices()[0]).__enter__()
-    didx = device_index_from_host(index)
+    # FLD position-filter device tables: only built when the filter can
+    # be active (explicit -l without --single-overhang); bases are
+    # fl-independent so the tables are usable for any fl
+    pos_active = opt.fld_mean > 0 and not opt.single_overhang
+    didx = device_index_from_host(index, with_pos_tables=pos_active)
     resolver = EcResolver(index)
     k = index.k
 
@@ -610,8 +646,17 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     # no longer force the slow per-read mode
     mr_key = opt.min_range if opt.min_range > 1 else 0
     sk = strand_filter is not None
-    if sk or mr_key:
-        resolver.compact_postfilter = _make_compact_postfilter(strand_filter)
+    pk = pos_filter is not None
+    pf_fl, pf_depth = -1, 0
+    if pk:
+        cards = np.diff(index.bp_ptr)
+        maxc = int(cards.max()) if cards.shape[0] else 0
+        pf_depth = max(int(np.ceil(np.log2(maxc + 1))), 1) if maxc else 1
+        pf_fl = int(opt.fld_mean)
+    if sk or mr_key or pk:
+        resolver.compact_postfilter = _make_compact_postfilter(
+            strand_filter, pos_filter
+        )
 
     def dispatch_pair(b1: PackedBatch, b2: PackedBatch, want_fld: bool):
         """Enqueue one pair batch on the device (async); returns a context.
@@ -623,11 +668,12 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         device compacts its shard locally (parallel/mesh.py).
         """
         want_bias = opt.bias and bias_total < _BIAS_GOAL
-        if (not want_fld and not want_bias and pos_filter is None
+        if (not want_fld and not want_bias
                 and pbam is None and b1.Lp == b2.Lp):
             if mesh is not None:
                 r1, r2, ckstack, shard_B = mesh.pair_compact(
-                    didx, b1, b2, k, min_range=mr_key, strand_key=sk
+                    didx, b1, b2, k, min_range=mr_key, strand_key=sk,
+                    pos_fl=pf_fl, pos_depth=pf_depth,
                 )
                 return ("cmesh", b1, b2, r1, r2, ckstack, shard_B)
             # -- turbo steady state: [W, B]-layout kernel, bucketed batch
@@ -649,6 +695,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                         n_anchors=n_anchors_for(rl, k),
                         min_range=mr_key, strand_key=sk,
                         rl=rl, wave2_cap=cap,
+                        pos_fl=pf_fl, pos_depth=pf_depth,
                     )
                     return ("turbo", b1, b2, r1, r2, ckflat, cap)
                 if (aux is not None and int(b1.lens.max()) < 65536
@@ -661,6 +708,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                         didx, _pad_rows(b1.packed, Bp),
                         _pad_rows(b2.packed, Bp), aux, lens, k=k, L=b1.Lp,
                         min_range=mr_key, strand_key=sk,
+                        pos_fl=pf_fl, pos_depth=pf_depth,
                     )
                     return ("turbo", b1, b2, r1, r2, ckflat, 0)
             # N-dense batch: legacy bitmask kernel in memory-bounded slices
@@ -672,6 +720,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                     didx, sb1.packed, sb1.nmask, sb1.lens,
                     sb2.packed, sb2.nmask, sb2.lens, k=k, L=sb1.Lp,
                     min_range=mr_key, strand_key=sk,
+                    pos_fl=pf_fl, pos_depth=pf_depth,
                 )
                 subs.append(("compact", sb1, sb2, sr1, sr2, sck))
             return ("multi", b1, subs)
@@ -715,6 +764,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                         didx, _pad_rows(b1.packed, Bp),
                         _pad_rows(b2.packed, Bp), aux, k=k, L=b1.Lp,
                         min_range=mr_key, strand_key=sk, rl=rl or 0,
+                        pos_fl=pf_fl, pos_depth=pf_depth,
                     )
                     arr = _fetch_ck(ckflat)
             uniq_h, occ, first_idx, flags, n_uniq = unflatten_ck_host(arr)
@@ -723,7 +773,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 s1, s2 = _SideArrays(r1), _SideArrays(r2)
                 resolver.process_compact(
                     uniq_h, occ, first_idx,
-                    _make_pair_fetcher(r1, r2, s1, s2, k, mr_key, sk),
+                    _make_pair_fetcher(r1, r2, s1, s2, k, mr_key, sk, pk),
                     int(r1.rows.shape[1]), paired=True,
                     do_union=opt.do_union,
                 )
@@ -757,7 +807,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             )
             if ok:
                 s1, s2 = _SideArrays(r1), _SideArrays(r2)
-                fetch = _make_pair_fetcher(r1, r2, s1, s2, k, mr_key, sk)
+                fetch = _make_pair_fetcher(r1, r2, s1, s2, k, mr_key, sk, pk)
                 R = int(r1.rows.shape[1])
                 for s, (uniq_h, occ, first_idx, flags, n_uniq) in enumerate(
                     shards
@@ -781,7 +831,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 s1, s2 = _SideArrays(r1), _SideArrays(r2)
                 resolver.process_compact(
                     uniq_h, occ, first_idx,
-                    _make_pair_fetcher(r1, r2, s1, s2, k, mr_key, sk),
+                    _make_pair_fetcher(r1, r2, s1, s2, k, mr_key, sk, pk),
                     int(r1.rows.shape[1]), paired=True, do_union=opt.do_union,
                 )
                 num_processed += b1.n
@@ -856,11 +906,11 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         import jax.numpy as jnp
 
         want_bias = opt.bias and bias_total < _BIAS_GOAL
-        if (pos_filter is None and not opt.do_union and not want_bias
-                and pbam is None):
+        if not opt.do_union and not want_bias and pbam is None:
             if mesh is not None:
                 r1, ckstack, shard_B = mesh.single_compact(
-                    didx, b1, k, min_range=mr_key, strand_key=sk
+                    didx, b1, k, min_range=mr_key, strand_key=sk,
+                    pos_fl=pf_fl, pos_depth=pf_depth,
                 )
                 return ("cmesh", b1, r1, ckstack, shard_B)
             Bp = _bucket_size(b1.n)
@@ -875,6 +925,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                         n_anchors=n_anchors_for(rl, k),
                         min_range=mr_key, strand_key=sk,
                         rl=rl, wave2_cap=cap,
+                        pos_fl=pf_fl, pos_depth=pf_depth,
                     )
                     return ("turbo", b1, r1, ckflat, cap)
                 if aux is not None and int(b1.lens.max()) < 65536:
@@ -882,6 +933,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                         didx, _pad_rows(b1.packed, Bp), aux,
                         _pad_rows(b1.lens.astype(np.uint16), Bp),
                         k=k, L=b1.Lp, min_range=mr_key, strand_key=sk,
+                        pos_fl=pf_fl, pos_depth=pf_depth,
                     )
                     return ("turbo", b1, r1, ckflat, 0)
             subs = []
@@ -891,6 +943,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 sr1, sck = pseudoalign_single_compact_packed(
                     didx, sb1.packed, sb1.nmask, sb1.lens, k=k, L=sb1.Lp,
                     min_range=mr_key, strand_key=sk,
+                    pos_fl=pf_fl, pos_depth=pf_depth,
                 )
                 subs.append(("compact", sb1, sr1, sck))
             return ("multi", b1, subs)
@@ -927,6 +980,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                     r1, ckflat = pseudoalign_single_turbo(
                         didx, _pad_rows(b1.packed, Bp), aux, k=k, L=b1.Lp,
                         min_range=mr_key, strand_key=sk, rl=rl or 0,
+                        pos_fl=pf_fl, pos_depth=pf_depth,
                     )
                     arr = _fetch_ck(ckflat)
             uniq_h, occ, first_idx, flags, n_uniq = unflatten_ck_host(arr)
@@ -934,7 +988,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 s1 = _SideArrays(r1)
                 resolver.process_compact(
                     uniq_h, occ, first_idx,
-                    _make_single_fetcher(r1, s1, k, mr_key, sk),
+                    _make_single_fetcher(r1, s1, k, mr_key, sk, pk),
                     int(r1.rows.shape[1]), paired=False,
                     do_union=opt.do_union,
                 )
@@ -958,7 +1012,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             )
             if ok:
                 s1 = _SideArrays(r1)
-                fetch = _make_single_fetcher(r1, s1, k, mr_key, sk)
+                fetch = _make_single_fetcher(r1, s1, k, mr_key, sk, pk)
                 R = int(r1.rows.shape[1])
                 for s, (uniq_h, occ, first_idx, flags, n_uniq) in enumerate(
                     shards
@@ -981,7 +1035,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 s1 = _SideArrays(r1)
                 resolver.process_compact(
                     uniq_h, occ, first_idx,
-                    _make_single_fetcher(r1, s1, k, mr_key, sk),
+                    _make_single_fetcher(r1, s1, k, mr_key, sk, pk),
                     int(r1.rows.shape[1]), paired=False, do_union=opt.do_union,
                 )
                 num_processed += b1.n

@@ -137,3 +137,29 @@ def test_stranded_matches_reference_golden(data_dir, test_index, golden_dir,
     mine = open(os.path.join(out, "abundance.tsv")).read()
     want = open(os.path.join(golden_dir, "quant_fr", "abundance.tsv")).read()
     assert mine == want
+
+
+def test_sharded_pos_filter_parity(data_dir, test_index):
+    """The FLD position filter rides the compact mesh path: the key
+    carries the read's per-block threshold rank (pos_filter_rank), so
+    sharded half-mapped paired runs with an explicit -l reproduce the
+    single-device result exactly."""
+    files = [
+        os.path.join(data_dir, "reads_1.fastq.gz"),
+        os.path.join(data_dir, "halfmapped_2.fastq.gz"),
+    ]
+    ref = run_quant(
+        Options(files=files, n_devices=1, batch_size=1250,
+                fld_mean=180, fld_sd=20),
+        index=test_index,
+    )
+    got = run_quant(
+        Options(files=files, n_devices=8, batch_size=1250,
+                fld_mean=180, fld_sd=20),
+        index=test_index,
+    )
+    assert got.num_pseudoaligned == ref.num_pseudoaligned
+    assert np.array_equal(got.counts, ref.counts)
+    for a, b in zip(got.ec_sets, ref.ec_sets):
+        assert np.array_equal(a, b)
+    np.testing.assert_array_equal(got.est_counts, ref.est_counts)
