@@ -233,6 +233,26 @@ def _w2_cap(B2: int) -> int:
     return min(max(-(-int(hint * 1.15) // q) * q, q), B2)
 
 
+class _W2Caps:
+    """Per-run wave-2 capacity choices: picked ONCE per (B2) from the
+    persisted hint and pinned for the whole run.  A mid-run capacity
+    switch would mean a fresh XLA compile (minutes through a tunnel) in
+    the middle of steady-state processing; a pinned slightly-stale cap
+    costs at most a few percent of wave-2 work.  Overflows (n_fail > cap)
+    fall back to one branchless full pass and raise the hint for the
+    NEXT run."""
+
+    def __init__(self):
+        self._caps = {}
+
+    def get(self, B2: int) -> int:
+        c = self._caps.get(B2)
+        if c is None:
+            c = _w2_cap(B2)
+            self._caps[B2] = c
+        return c
+
+
 def _w2_observe(B2: int, n_fail: int) -> None:
     prev = _W2_HINTS.get(B2, 0)
     # raise fast, decay slowly: a wave-2 overflow costs a full turbo
@@ -595,6 +615,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     pos_active = opt.fld_mean > 0 and not opt.single_overhang
     didx = device_index_from_host(index, with_pos_tables=pos_active)
     resolver = EcResolver(index)
+    w2caps = _W2Caps()
     k = index.k
 
     mesh: Optional["MeshRunner"] = None
@@ -688,7 +709,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                     # unitig stretches; only failing reads pay full
                     # window evaluation, in a sub-batch sized to the
                     # observed failure rate (ops/anchor.py)
-                    cap = _w2_cap(2 * Bp)
+                    cap = w2caps.get(2 * Bp)
                     r1, r2, ckflat = pseudoalign_pair_anchor(
                         didx, _pad_rows(b1.packed, Bp),
                         _pad_rows(b2.packed, Bp), aux, k=k, L=b1.Lp,
@@ -919,7 +940,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 rl = _uniform_len(b1)
                 aux = make_aux(b1.n, rl or 0, exc)
                 if aux is not None and rl is not None:
-                    cap = _w2_cap(Bp)
+                    cap = w2caps.get(Bp)
                     r1, ckflat = pseudoalign_single_anchor(
                         didx, _pad_rows(b1.packed, Bp), aux, k=k, L=b1.Lp,
                         n_anchors=n_anchors_for(rl, k),

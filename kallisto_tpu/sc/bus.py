@@ -54,6 +54,7 @@ from ..quant.ecmap import EcResolver
 from ..quant.filters import StrandFilter
 from ..quant.pipeline import (
     _SideArrays,
+    _W2Caps,
     _apply_overflow_fallback,
     _bucket_size,
     _dispatch_side,
@@ -62,7 +63,6 @@ from ..quant.pipeline import (
     _pad_rows,
     _turbo_exceptions,
     _uniform_len,
-    _w2_cap,
     _w2_observe,
 )
 from ..ops.pseudoalign import ck_n_fail, pair_key_hash, single_key_hash
@@ -777,6 +777,7 @@ class _BusRun:
         self.index = index
         self.k = index.k
         self.didx = device_index_from_host(index)
+        self._w2caps = _W2Caps()  # pinned per-run wave-2 capacities
         self.resolver = EcResolver(index, dfk_onlist=opt.dfk_onlist)
         self.aa_resolver = (
             EcResolver(index, mask_offlist=False) if opt.aa else None
@@ -899,7 +900,7 @@ class _BusRun:
         if aux is None:
             return None
         max_keys = 32768
-        cap = _w2_cap(2 * Bp)
+        cap = self._w2caps.get(2 * Bp)
         r1, r2, ck = pseudoalign_pair_anchor(
             self.didx, _pad_rows(b1.packed, Bp), _pad_rows(b2.packed, Bp),
             aux, k=self.k, L=b1.Lp, n_anchors=n_anchors_for(rl, self.k),
@@ -923,7 +924,7 @@ class _BusRun:
         if aux is None:
             return None
         max_keys = 32768
-        cap = _w2_cap(Bp)
+        cap = self._w2caps.get(Bp)
         r1, ck = pseudoalign_single_anchor(
             self.didx, _pad_rows(b1.packed, Bp), aux, k=self.k, L=b1.Lp,
             n_anchors=n_anchors_for(rl, self.k), max_keys=max_keys,
