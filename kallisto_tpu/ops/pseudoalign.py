@@ -341,18 +341,39 @@ def rolling_canonical_kmers(codes: jnp.ndarray, lens: jnp.ndarray, k: int):
     """[B, L] base codes -> canonical k-mers per window.
 
     Returns (canon [B, W] int64, is_fw [B, W] bool, valid [B, W] bool)
-    with W = L - k + 1.  The k static shifts unroll into fused elementwise
-    ops; XLA keeps everything in registers/VMEM.
-    """
+    with W = L - k + 1.  A true ROLLING build: window 0 is constructed
+    with k shifts on [B]-wide vectors, then each subsequent window pushes
+    one base (f: shift-in at the low end; r: shift-down with the
+    complement injected at the top) -- O(k + W) column ops instead of the
+    O(k * W) unrolled build (the same recurrence kseq-era scanners use,
+    data-parallel over the batch)."""
     B, L = codes.shape
     W = L - k + 1
-    c = codes.astype(jnp.int64)
-    f = jnp.zeros((B, W), jnp.int64)
-    r = jnp.zeros((B, W), jnp.int64)
+    c = (codes & 3).astype(jnp.int64)
+    mask = (jnp.int64(1) << (2 * k)) - 1 if 2 * k < 64 else jnp.int64(-1)
+    top = 2 * (k - 1)
+    f0 = jnp.zeros((B,), jnp.int64)
+    r0 = jnp.zeros((B,), jnp.int64)
     for d in range(k):
-        cd = jax.lax.dynamic_slice_in_dim(c, d, W, axis=1)
-        f = (f << 2) | cd
-        r = r | ((3 - cd) << (2 * d))
+        f0 = (f0 << 2) | c[:, d]
+        r0 = r0 | ((3 - c[:, d]) << (2 * d))
+
+    if W > 1:
+        xs = c[:, k:L].T  # [W-1, B] incoming base per roll step
+
+        def step(carry, cd):
+            f, r = carry
+            f = ((f << 2) | cd) & mask
+            r = (r >> 2) | ((3 - cd) << top)
+            return (f, r), (f, r)
+
+        (_, _), (fs, rs) = jax.lax.scan(step, (f0, r0), xs)
+        f = jnp.concatenate([f0[None, :], fs], axis=0).T  # [B, W]
+        r = jnp.concatenate([r0[None, :], rs], axis=0).T
+    else:
+        f = f0[:, None]
+        r = r0[:, None]
+
     bad = (codes >= 4).astype(jnp.int32)
     csum = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), jnp.cumsum(bad, axis=1)], axis=1)
     window_bad = csum[:, k:] - csum[:, :W]

@@ -226,11 +226,12 @@ _CK_PREFIX = 2049  # meta row + 2048 key slots
 
 
 def _w2_cap(B2: int) -> int:
-    hint = _W2_HINTS.get(B2)
-    if hint is None:
+    rate = _W2_HINTS.get(B2)
+    if rate is None:
         return B2 // 2
     q = max(B2 // 32, 1)
-    return min(max(-(-int(hint * 1.15) // q) * q, q), B2)
+    want = int(rate * 1.2 * B2) + 1
+    return min(max(-(-want // q) * q, q), B2)
 
 
 class _W2Caps:
@@ -253,11 +254,16 @@ class _W2Caps:
         return c
 
 
-def _w2_observe(B2: int, n_fail: int) -> None:
-    prev = _W2_HINTS.get(B2, 0)
-    # raise fast, decay slowly: a wave-2 overflow costs a full turbo
-    # re-dispatch, so safety margin beats the last slice of kernel time
-    _W2_HINTS[B2] = max(n_fail, int(prev * 0.9))
+def _w2_observe(B2: int, n_fail: int, rows: int) -> None:
+    if rows <= 0:
+        return
+    prev = _W2_HINTS.get(B2, 0.0)
+    # the hint is a failure RATE over the batch's REAL rows (warmup
+    # batches are smaller than steady-state ones; an absolute count
+    # would under-provision).  Raise fast, decay slowly: a wave-2
+    # overflow costs a full turbo re-dispatch, so safety margin beats
+    # the last slice of kernel time.
+    _W2_HINTS[B2] = max(n_fail / rows, prev * 0.95)
 
 
 def _fetch_ck(ckflat) -> np.ndarray:
@@ -771,7 +777,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             arr = _fetch_ck(ckflat)
             if w2cap:
                 nf = ck_n_fail(arr)
-                _w2_observe(2 * _bucket_size(b1.n), nf)
+                _w2_observe(2 * _bucket_size(b1.n), nf, 2 * b1.n)
                 if nf > w2cap:
                     # wave-2 overflow: this batch's anchor results are
                     # invalid; one branchless full pass replaces them
@@ -991,7 +997,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             arr = _fetch_ck(ckflat)
             if w2cap:
                 nf = ck_n_fail(arr)
-                _w2_observe(_bucket_size(b1.n), nf)
+                _w2_observe(_bucket_size(b1.n), nf, b1.n)
                 if nf > w2cap:
                     Bp = _bucket_size(b1.n)
                     rl = _uniform_len(b1)

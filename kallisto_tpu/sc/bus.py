@@ -907,7 +907,7 @@ class _BusRun:
             max_keys=max_keys, rl=rl, wave2_cap=cap,
         )
         meta = np.asarray(ck[0])
-        _w2_observe(2 * Bp, int(meta[1]))
+        _w2_observe(2 * Bp, int(meta[1]), 2 * b1.n)
         if int(meta[0]) > max_keys:
             return None
         return r1, r2
@@ -931,7 +931,7 @@ class _BusRun:
             rl=rl, wave2_cap=cap,
         )
         meta = np.asarray(ck[0])
-        _w2_observe(Bp, int(meta[1]))
+        _w2_observe(Bp, int(meta[1]), b1.n)
         if int(meta[0]) > max_keys:
             return None
         return r1
