@@ -331,7 +331,9 @@ def main(argv=None):
     p.add_argument("-c", "--chromosomes", default=None)
     p.add_argument("-m", "--min-range", type=int, default=1)
     p.add_argument("-p", "--priors", default=None)
-    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-t", "--threads", type=int, default=1,
+                   help="devices to shard read batches over (the TPU "
+                        "analog of the reference's worker threads)")
     p.add_argument("reads", nargs="+")
     p.set_defaults(fn=_cmd_quant)
 
@@ -349,7 +351,10 @@ def main(argv=None):
     p.add_argument("--fr-stranded", action="store_true")
     p.add_argument("--rf-stranded", action="store_true")
     p.add_argument("--unstranded", action="store_true")
-    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-t", "--threads", type=int, default=1,
+                   help="accepted for surface parity: bus batches are "
+                        "processed device-wide, so one process saturates "
+                        "the chip (reference: per-thread BUSProcessors)")
     p.add_argument("--single", action="store_true", dest="single_end")
     p.add_argument("--paired", action="store_true", dest="bus_paired")
     p.add_argument("--long", action="store_true")
