@@ -132,12 +132,20 @@ class FastqStream:
         # format guard (reference kseq silently mis-parses; we fail with a
         # clear message). kseq skips leading junk until it sees '@' (so e.g.
         # a "\\@name" header is accepted, src/kseq.h record-start scan); we
-        # accept any header containing '@' and require '+' separators.
+        # accept only NON-ALPHANUMERIC junk before the '@' ('@' is quality
+        # char Q31, so "contains '@'" would silently pass a phase-shifted
+        # file whose header slot holds a quality line) and require '+'
+        # separators.
         headers = lines[0::4]
         seps = lines[2::4]
-        bad_h = next(
-            (i for i, h in enumerate(headers) if b"@" not in h), None
-        )
+
+        def _bad(h: bytes) -> bool:
+            if h.startswith(b"@"):
+                return False
+            i = h.find(b"@")
+            return i < 0 or any(chr(c).isalnum() for c in h[:i])
+
+        bad_h = next((i for i, h in enumerate(headers) if _bad(h)), None)
         bad_s = next(
             (i for i, p in enumerate(seps) if not p.startswith(b"+")), None
         )

@@ -115,6 +115,17 @@ def _mix64_jnp(x: jnp.ndarray) -> jnp.ndarray:
     return x ^ (x >> jnp.uint64(31))
 
 
+def pf_probe_depth(index) -> int:
+    """Static binary-search depth for the FLD position-filter tables.
+
+    Shared by pos_tables_from_host and the pipeline's kernel dispatch: the
+    depth is part of the jit signature, and a second (diverging) formula
+    would silently under-iterate the device search."""
+    cards = np.diff(index.bp_ptr)
+    maxc = int(cards.max()) if cards.shape[0] else 0
+    return max(int(np.ceil(np.log2(maxc + 1))), 1) if maxc else 1
+
+
 def pos_tables_from_host(index):
     """Per-block sorted FLD-position-filter base tables (+ probe depth).
 
@@ -147,13 +158,10 @@ def pos_tables_from_host(index):
     lim = np.int64(2**31 - 1)
     fw = np.clip(base_fw, -lim, lim)[np.lexsort((base_fw, blk))]
     rv = np.clip(base_rv, -lim, lim)[np.lexsort((base_rv, blk))]
-    cards = np.diff(index.bp_ptr)
-    maxc = int(cards.max()) if cards.shape[0] else 0
-    depth = max(int(np.ceil(np.log2(maxc + 1))), 1) if maxc else 1
     return (
         index.bp_ptr.astype(np.int32),
         np.concatenate([fw, rv]).astype(np.int32),
-        depth,
+        pf_probe_depth(index),
     )
 
 
@@ -687,14 +695,19 @@ def _compact_keys(h: jnp.ndarray, flags: jnp.ndarray, K: int) -> CompactKeys:
     column) with a single packed (read idx, flags) payload -- a 2-array
     sort moves 2.5x fewer bytes through the TPU sort network than the
     previous 4-array 128-bit sort.  Within a segment all reads share the
-    exact key, hence identical flags, so min(idx*64+flags) recovers the
-    first occurrence and its flags.  The 128-bit hash pair is recovered
-    exactly by gathering h at the exemplar index; dedup itself rides on
-    64 bits (within-batch distinct-key collision ~B^2/2^65 < 1e-13 --
-    the host-side EC cache still keys on the full 128 bits)."""
+    exact key, hence identical flags, so min(idx*128+flags) recovers the
+    first occurrence and its flags (flag bits are 1..32 = max 63; the
+    *128 packing leaves one spare bit of headroom so a future flag bit
+    does not silently corrupt first_idx).  The 128-bit hash pair is
+    recovered exactly by gathering h at the exemplar index; dedup itself
+    rides on 64 bits (within-batch distinct-key collision ~B^2/2^65:
+    ~3e-8 for the production B=2^20 batches, ~1e-5 over a multi-thousand-
+    batch run, and harmless anyway -- a collision merges two reads' keys
+    within one batch, the host-side EC cache still keys on the full 128
+    bits)."""
     B = h.shape[0]
     idx = jnp.arange(B, dtype=jnp.int32)
-    pay = idx.astype(jnp.int64) * 64 + flags.astype(jnp.int64)
+    pay = idx.astype(jnp.int64) * 128 + flags.astype(jnp.int64)
     h0, pays = jax.lax.sort((h[:, 0], pay), num_keys=1)
     isnew = jnp.concatenate([jnp.ones(1, bool), h0[1:] != h0[:-1]])
     seg = jnp.cumsum(isnew.astype(jnp.int32)) - 1
@@ -703,9 +716,9 @@ def _compact_keys(h: jnp.ndarray, flags: jnp.ndarray, K: int) -> CompactKeys:
     occ = jax.ops.segment_sum(jnp.ones(B, jnp.int32), segc, num_segments=K)
     firstpay = jax.ops.segment_min(pays, segc, num_segments=K)
     first_idx = jnp.where(
-        occ > 0, (firstpay >> 6).astype(jnp.int32), jnp.int32(0)
+        occ > 0, (firstpay >> 7).astype(jnp.int32), jnp.int32(0)
     )
-    fl = jnp.where(occ > 0, (firstpay & 63).astype(jnp.int32), jnp.int32(0))
+    fl = jnp.where(occ > 0, (firstpay & 127).astype(jnp.int32), jnp.int32(0))
     uh = h[jnp.minimum(first_idx, B - 1)]
     return CompactKeys(
         uniq_h=uh,

@@ -676,9 +676,9 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     pk = pos_filter is not None
     pf_fl, pf_depth = -1, 0
     if pk:
-        cards = np.diff(index.bp_ptr)
-        maxc = int(cards.max()) if cards.shape[0] else 0
-        pf_depth = max(int(np.ceil(np.log2(maxc + 1))), 1) if maxc else 1
+        from ..ops.pseudoalign import pf_probe_depth
+
+        pf_depth = pf_probe_depth(index)
         pf_fl = int(opt.fld_mean)
     if sk or mr_key or pk:
         resolver.compact_postfilter = _make_compact_postfilter(
