@@ -29,6 +29,13 @@
 
 #include <zlib.h>
 
+#if defined(__has_include)
+#if __has_include(<libdeflate.h>)
+#include <libdeflate.h>
+#define KTIO_HAVE_LIBDEFLATE 1
+#endif
+#endif
+
 #ifdef __AVX2__
 #include <immintrin.h>
 #endif
@@ -224,6 +231,12 @@ static void bgzf_io_loop(BgzfSource* s) {
 }
 
 static void bgzf_worker_loop(BgzfSource* s) {
+#ifdef KTIO_HAVE_LIBDEFLATE
+  // libdeflate's whole-buffer inflate is 2-3x faster than zlib's
+  // streaming path -- BGZF blocks are complete deflate streams, so the
+  // whole-buffer API applies directly (one decompressor per worker)
+  struct libdeflate_decompressor* ld = libdeflate_alloc_decompressor();
+#endif
   while (true) {
     std::unique_ptr<BgzfJob> job;
     {
@@ -231,14 +244,21 @@ static void bgzf_worker_loop(BgzfSource* s) {
       s->cv_get.wait(lk, [s] {
         return s->stop || s->io_done || !s->jobs.empty();
       });
-      if (s->stop) return;
+      if (s->stop) break;
       if (s->jobs.empty()) break;  // io done and drained
       job = std::move(s->jobs.front());
       s->jobs.pop_front();
       s->cv_put.notify_one();
     }
+    if (!job) break;
     std::vector<uint8_t> outbuf(job->isize);
     if (job->isize > 0) {
+      bool ok;
+#ifdef KTIO_HAVE_LIBDEFLATE
+      ok = libdeflate_deflate_decompress(
+               ld, job->comp.data(), job->comp.size(), outbuf.data(),
+               outbuf.size(), nullptr) == LIBDEFLATE_SUCCESS;
+#else
       z_stream zs;
       memset(&zs, 0, sizeof(zs));
       inflateInit2(&zs, -15);
@@ -248,7 +268,9 @@ static void bgzf_worker_loop(BgzfSource* s) {
       zs.avail_out = (uInt)outbuf.size();
       int rc = inflate(&zs, Z_FINISH);
       inflateEnd(&zs);
-      if (rc != Z_STREAM_END) {
+      ok = rc == Z_STREAM_END;
+#endif
+      if (!ok) {
         std::lock_guard<std::mutex> lk(s->mu);
         if (s->error.empty()) s->error = "bgzf: inflate failed";
         outbuf.clear();
@@ -258,9 +280,14 @@ static void bgzf_worker_loop(BgzfSource* s) {
     s->ready.emplace(job->seq, std::move(outbuf));
     s->rcv.notify_all();
   }
-  std::lock_guard<std::mutex> lk(s->rmu);
-  s->live_workers--;
-  s->rcv.notify_all();
+#ifdef KTIO_HAVE_LIBDEFLATE
+  libdeflate_free_decompressor(ld);
+#endif
+  if (true) {
+    std::lock_guard<std::mutex> lk(s->rmu);
+    s->live_workers--;
+    s->rcv.notify_all();
+  }
 }
 
 static void bgzf_emit_loop(BgzfSource* s) {
@@ -568,7 +595,7 @@ static bool is_bgzf(const char* path) {
 
 extern "C" {
 
-int ktio_abi_version() { return 4; }
+int ktio_abi_version() { return 5; }
 
 void* ktio_open(const char* path, int batch_reads, int pad_to, int min_len,
                 int keep_names, int n_threads) {
@@ -766,5 +793,434 @@ void ktio_revcomp(const uint64_t* x, int64_t n, int k, uint64_t* out,
   }
   for (auto& th : ths) th.join();
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host-side wave-1 anchor probing.
+//
+// The TPU pseudoalignment hot path is host->device LINK bound under a
+// tunneled chip (~45 MB/s): uploading every packed read costs ~28 B/pair.
+// This routine runs the anchor wave of the two-wave kernel
+// (kallisto_tpu/ops/anchor.py _anchor_side -- itself the data-parallel
+// form of the reference's jump/skip heuristic, reference:
+// src/KmerIndex.cpp:1776-1887) on the HOST against the same probe tables:
+// a few k-mer lookups per mate either PROVE the whole read matches one
+// unitig stretch (the anchors overlap pairwise, so their window
+// equalities chain into read == unitig segment, making every intermediate
+// window's hit position interpolatable) or fail it to wave 2.  Verified
+// pairs collapse into a per-batch compact-key histogram built right here
+// (open-addressing map over a 128-bit content hash of the exemplar
+// columns, the same key layout quant/ecmap.py resolves); only the
+// FAILING reads' packed codes ever cross the link, cutting upload bytes
+// by the verification rate (~60-95% on real data).
+//
+// Key-space note: these host keys use their own hash constants, so they
+// never alias the device-computed wave-2 keys; both resolve through the
+// shared EC cache by content, and EC numbering stays in global read
+// order because the pipeline merges host+device keys by first-occurrence
+// index before resolution.
+
+namespace {
+
+struct W1Key {
+  uint64_t h1, h2;
+  int64_t first;
+  int64_t count;
+  int32_t ex_off;
+};
+
+struct W1Map {
+  std::vector<W1Key> slots;  // h1==0 && h2==0 marks empty
+  std::vector<int32_t> arena;
+  size_t n = 0, cap = 0, mask = 0;
+
+  void init(size_t c) {
+    cap = c;
+    mask = c - 1;
+    n = 0;
+    slots.assign(c, W1Key{0, 0, 0, 0, 0});
+  }
+  void grow() {
+    std::vector<W1Key> old = std::move(slots);
+    init(cap * 2);
+    for (auto& s : old)
+      if (s.h1 | s.h2) place(s);
+  }
+  void place(const W1Key& k) {
+    size_t i = (size_t)k.h1 & mask;
+    while (slots[i].h1 | slots[i].h2) i = (i + 1) & mask;
+    slots[i] = k;
+    n++;
+  }
+  // insert-or-update; ex points at the exemplar ints (copied on first see)
+  void add(uint64_t h1, uint64_t h2, int64_t idx, const int32_t* ex, int W) {
+    if ((n + 1) * 4 >= cap * 3) grow();
+    size_t i = (size_t)h1 & mask;
+    while (true) {
+      W1Key& s = slots[i];
+      if (!(s.h1 | s.h2)) {
+        s.h1 = h1;
+        s.h2 = h2;
+        s.first = idx;
+        s.count = 1;
+        s.ex_off = (int32_t)(arena.size() / W);
+        arena.insert(arena.end(), ex, ex + W);
+        n++;
+        return;
+      }
+      if (s.h1 == h1 && s.h2 == h2) {
+        s.count++;
+        if (idx < s.first) s.first = idx;
+        return;
+      }
+      i = (i + 1) & mask;
+    }
+  }
+};
+
+struct W1Result {
+  int32_t width = 0;
+  std::vector<uint64_t> h1, h2;
+  std::vector<int64_t> first, count;
+  std::vector<int32_t> ex;
+};
+
+// one mate's anchor evaluation result
+struct MateEval {
+  bool ok;
+  int nrows;
+  int32_t rows[16];
+  int32_t blk0, upos0;
+  uint8_t strand0;
+};
+
+struct W1Ctx {
+  const uint64_t* mk;
+  int64_t n_keys;
+  const int64_t* bucket_start;
+  int32_t p;
+  const int32_t* kuid;
+  const int32_t* kpos;
+  const uint8_t* kfw;
+  const int32_t* kblock;
+  const int32_t* block_ec;
+  int64_t n_blocks;
+  const int32_t* pf_ptr;
+  const int32_t* pf_base;
+  int64_t pf_np;
+  int32_t Lp, rl, k, R, n_anchors, min_range, tail_mode, pos_fl;
+  std::vector<int32_t> ws;  // anchor window starts
+};
+
+// little-endian 2-bit window [w, w+k) from a packed row: code of position
+// w+i lands at bits 2i (low-order-first).
+static inline uint64_t load_window2(const uint8_t* row, int rowb, int w,
+                                    int k) {
+  int bit = 2 * w;
+  int byte = bit >> 3, sh = bit & 7;
+  uint8_t tmp[16] = {0};
+  int take = rowb - byte;
+  if (take > 16) take = 16;
+  if (take > 0) memcpy(tmp, row + byte, take);
+  uint64_t lo, hi;
+  memcpy(&lo, tmp, 8);
+  memcpy(&hi, tmp + 8, 8);
+  uint64_t x = sh ? ((lo >> sh) | (hi << (64 - sh))) : lo;
+  uint64_t mask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+  return x & mask;
+}
+
+static inline bool window_has_bit(const uint8_t* nm, int nmb, int w, int k) {
+  int byte = w >> 3, sh = w & 7;
+  uint8_t tmp[16] = {0};
+  int take = nmb - byte;
+  if (take > 16) take = 16;
+  if (take > 0) memcpy(tmp, nm + byte, take);
+  uint64_t lo, hi;
+  memcpy(&lo, tmp, 8);
+  memcpy(&hi, tmp + 8, 8);
+  uint64_t x = sh ? ((lo >> sh) | (hi << (64 - sh))) : lo;
+  uint64_t mask = (k >= 64) ? ~0ULL : ((1ULL << k) - 1);
+  return (x & mask) != 0;
+}
+
+// 2-bit group reversal across 64 bits (abc...z -> z...cba)
+static inline uint64_t rev2_64(uint64_t x) {
+  x = ((x & 0x3333333333333333ULL) << 2) | ((x >> 2) & 0x3333333333333333ULL);
+  x = ((x & 0x0F0F0F0F0F0F0F0FULL) << 4) | ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL);
+  x = ((x & 0x00FF00FF00FF00FFULL) << 8) | ((x >> 8) & 0x00FF00FF00FF00FFULL);
+  x = ((x & 0x0000FFFF0000FFFFULL) << 16) |
+      ((x >> 16) & 0x0000FFFF0000FFFFULL);
+  return (x << 32) | (x >> 32);
+}
+
+static const int32_t kRowPad = 0x7FFFFFFF;  // INT32_MAX row padding
+
+static inline bool w1_eval_mate(const W1Ctx& c, const uint8_t* pk,
+                                const uint8_t* nm, MateEval* out) {
+  const int rowb = c.Lp / 4, nmb = c.Lp / 8;
+  const uint64_t kmask =
+      (c.k == 32) ? ~0ULL : ((1ULL << (2 * c.k)) - 1);
+  int32_t uid0 = 0, pos0 = 0, blo = 0, bhi = 0;
+  uint8_t strand0 = 0;
+  for (int j = 0; j < c.n_anchors; j++) {
+    int w = c.ws[j];
+    if (window_has_bit(nm, nmb, w, c.k)) return false;  // N in window
+    uint64_t x = load_window2(pk, rowb, w, c.k);
+    uint64_t f = rev2_64(x) >> (64 - 2 * c.k);
+    uint64_t r = (~x) & kmask;
+    bool fw = f <= r;
+    uint64_t canon = fw ? f : r;
+    uint64_t mq = mix64(canon);
+    uint64_t b = c.p ? (mq >> (64 - c.p)) : 0;
+    int64_t s = c.bucket_start[b], e = c.bucket_start[b + 1];
+    while (s < e) {
+      int64_t mid = (s + e) >> 1;
+      if (c.mk[mid] < mq)
+        s = mid + 1;
+      else
+        e = mid;
+    }
+    if (s >= c.bucket_start[b + 1] || c.mk[s] != mq) return false;  // miss
+    int32_t uid = c.kuid[s], pos = c.kpos[s], blk = c.kblock[s];
+    uint8_t strand = (fw == (bool)c.kfw[s]) ? 1 : 0;
+    if (j == 0) {
+      uid0 = uid;
+      pos0 = pos;
+      strand0 = strand;
+      blo = bhi = blk;
+      out->upos0 = pos;
+      out->blk0 = blk;
+      out->strand0 = strand;
+    } else {
+      if (uid != uid0 || strand != strand0) return false;
+      int32_t expect = strand0 ? pos0 + w : pos0 - w;
+      if (pos != expect) return false;
+      if (blk < blo) blo = blk;
+      if (blk > bhi) bhi = blk;
+    }
+  }
+  if (blo < 0) return false;                 // D-list dummy unitig
+  if (bhi - blo > 2 * c.rl + 16) return false;  // sanity cap on span
+  // distinct sorted non-empty EC rows over the contiguous block range
+  int nr = 0;
+  for (int32_t fid = blo; fid <= bhi; fid++) {
+    int32_t ec = c.block_ec[fid];
+    if (ec < 0) continue;
+    int q = nr;
+    while (q > 0 && out->rows[q - 1] > ec) q--;
+    if (q > 0 && out->rows[q - 1] == ec) continue;
+    if (nr >= c.R) return false;  // row-budget overflow -> wave 2
+    for (int m = nr; m > q; m--) out->rows[m] = out->rows[m - 1];
+    out->rows[q] = ec;
+    nr++;
+  }
+  out->nrows = nr;
+  out->ok = true;
+  return true;
+}
+
+// single-end FLD position-filter rank (must equal ops/pseudoalign.py
+// pos_filter_rank exactly: lower_bound over the per-block sorted bases)
+static inline int32_t w1_pos_rank(const W1Ctx& c, const MateEval& e) {
+  int32_t b = e.blk0 < 0 ? 0 : e.blk0;
+  int32_t lo0 = c.pf_ptr[b], hi = c.pf_ptr[b + 1];
+  int64_t off = e.strand0 ? 0 : c.pf_np;
+  // rpos is 0 for verified reads (first hit at window 0)
+  int32_t target = e.strand0 ? e.upos0 + c.pos_fl : e.upos0 - c.pos_fl + 1;
+  int32_t lo = lo0, h = hi;
+  while (lo < h) {
+    int32_t mid = (lo + h) >> 1;
+    if (c.pf_base[off + mid] < target)
+      lo = mid + 1;
+    else
+      h = mid;
+  }
+  return lo - lo0;
+}
+
+// 128-bit content hash over the exemplar columns (host namespace: seeds
+// differ from the device _hash_columns_128, so host keys never alias
+// device wave-2 keys in the shared EC cache)
+static inline void w1_hash(const int32_t* ex, int W, int32_t extra,
+                           bool use_extra, uint64_t* h1o, uint64_t* h2o) {
+  uint64_t h1 = 0x9AE16A3B2F90404FULL, h2 = 0xC3A5C85C97CB3127ULL;
+  const uint64_t m1 = 0x100000001B3ULL, m2 = 0xC2B2AE3D27D4EB4FULL;
+  for (int i = 0; i < W; i++) {
+    uint64_t cu = (uint64_t)(int64_t)ex[i];
+    h1 = (h1 ^ cu) * m1;
+    h2 = (h2 + cu) * m2;
+    h2 ^= h2 >> 29;
+  }
+  if (use_extra) {
+    uint64_t cu = (uint64_t)(int64_t)extra;
+    h1 = (h1 ^ cu) * m1;
+    h2 = (h2 + cu) * m2;
+    h2 ^= h2 >> 29;
+  }
+  h1 ^= h1 >> 33;
+  h2 *= m1;
+  if (!(h1 | h2)) h1 = 1;  // 0/0 is the empty-slot marker
+  *h1o = h1;
+  *h2o = h2;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ktio_wave1(
+    const uint64_t* mk, int64_t n_keys, const int64_t* bucket_start,
+    int32_t p, const int32_t* kuid, const int32_t* kpos, const uint8_t* kfw,
+    const int32_t* kblock, const int32_t* block_ec, int64_t n_blocks,
+    const int32_t* pf_ptr, const int32_t* pf_base, int64_t pf_np,
+    const uint8_t* packed1, const uint8_t* nmask1, const uint8_t* packed2,
+    const uint8_t* nmask2, int64_t n, int32_t Lp, int32_t rl, int32_t k,
+    int32_t R, int32_t n_anchors, const int32_t* anchor_ws,
+    int32_t min_range, int32_t tail_mode, int32_t pos_fl, int32_t n_threads,
+    int32_t* fail_idx, int64_t* n_fail_out) {
+  W1Ctx c{mk,     n_keys, bucket_start, p,  kuid, kpos,      kfw,
+          kblock, block_ec, n_blocks,   pf_ptr, pf_base, pf_np,
+          Lp,     rl,     k,  R, n_anchors, min_range, tail_mode, pos_fl,
+          std::vector<int32_t>(anchor_ws, anchor_ws + n_anchors)};
+  const bool paired = packed2 != nullptr;
+  const int rowb = Lp / 4, nmb = Lp / 8;
+  // exemplar width: rows (R per mate) + flags + optional tails
+  int W = paired ? 2 * R + 1 : R + 1;
+  if (tail_mode >= 1) W += paired ? 4 : 2;
+  if (tail_mode >= 2) W += paired ? 4 : 2;
+  const bool rank_in_key = (!paired) && pos_fl >= 0;
+  // min_range veto is constant for a uniform read length: rng = rl - k,
+  // veto <=> has_hits && (rng + k < min_range) <=> rl < min_range
+  const int32_t veto = (min_range > 1 && rl < min_range) ? 1 : 0;
+
+  int T = n_threads > 0 ? n_threads : 1;
+  if (n < (1 << 14)) T = 1;
+  std::vector<W1Map> maps(T);
+  std::vector<std::vector<int32_t>> fails(T);
+  auto work = [&](int t, int64_t lo, int64_t hi) {
+    W1Map& map = maps[t];
+    map.init(1 << 10);
+    std::vector<int32_t>& fail = fails[t];
+    std::vector<int32_t> ex(W);
+    for (int64_t i = lo; i < hi; i++) {
+      MateEval e1, e2;
+      e1.ok = e2.ok = false;
+      if (!w1_eval_mate(c, packed1 + i * rowb, nmask1 + i * nmb, &e1) ||
+          (paired &&
+           !w1_eval_mate(c, packed2 + i * rowb, nmask2 + i * nmb, &e2))) {
+        fail.push_back((int32_t)i);
+        continue;
+      }
+      int o = 0;
+      for (int m = 0; m < e1.nrows; m++) ex[o++] = e1.rows[m];
+      for (int m = e1.nrows; m < R; m++) ex[o++] = kRowPad;
+      if (paired) {
+        for (int m = 0; m < e2.nrows; m++) ex[o++] = e2.rows[m];
+        for (int m = e2.nrows; m < R; m++) ex[o++] = kRowPad;
+        ex[o++] = 1 + 2 + 16 * veto + 32 * veto;  // both mates hit
+      } else {
+        ex[o++] = 1 + 16 * veto;
+      }
+      if (tail_mode >= 1) {
+        ex[o++] = e1.blk0;
+        ex[o++] = e1.strand0;
+        if (paired) {
+          ex[o++] = e2.blk0;
+          ex[o++] = e2.strand0;
+        }
+      }
+      if (tail_mode >= 2) {
+        ex[o++] = e1.upos0;
+        ex[o++] = 0;  // rpos: first hit is window 0 for verified reads
+        if (paired) {
+          ex[o++] = e2.upos0;
+          ex[o++] = 0;
+        }
+      }
+      int32_t rank = rank_in_key ? w1_pos_rank(c, e1) : 0;
+      uint64_t h1, h2;
+      w1_hash(ex.data(), W, rank, rank_in_key, &h1, &h2);
+      map.add(h1, h2, i, ex.data(), W);
+    }
+  };
+  if (T == 1) {
+    work(0, 0, n);
+  } else {
+    std::vector<std::thread> ths;
+    int64_t per = (n + T - 1) / T;
+    for (int t = 0; t < T; t++) {
+      int64_t lo = t * per, hi = std::min<int64_t>(n, lo + per);
+      if (lo < hi) ths.emplace_back(work, t, lo, hi);
+    }
+    for (auto& th : ths) th.join();
+  }
+  // merge thread maps into map 0 (same key => identical exemplar content)
+  W1Map& m0 = maps[0];
+  if (m0.cap == 0) m0.init(1 << 10);
+  for (int t = 1; t < T; t++) {
+    W1Map& mt = maps[t];
+    for (auto& s : mt.slots) {
+      if (!(s.h1 | s.h2)) continue;
+      if ((m0.n + 1) * 4 >= m0.cap * 3) m0.grow();
+      size_t i = (size_t)s.h1 & m0.mask;
+      while (true) {
+        W1Key& d = m0.slots[i];
+        if (!(d.h1 | d.h2)) {
+          d = s;
+          d.ex_off = (int32_t)(m0.arena.size() / W);
+          m0.arena.insert(m0.arena.end(), mt.arena.begin() + (size_t)s.ex_off * W,
+                          mt.arena.begin() + (size_t)(s.ex_off + 1) * W);
+          m0.n++;
+          break;
+        }
+        if (d.h1 == s.h1 && d.h2 == s.h2) {
+          d.count += s.count;
+          if (s.first < d.first) d.first = s.first;
+          break;
+        }
+        i = (i + 1) & m0.mask;
+      }
+    }
+  }
+  // emit fails in ascending read order (chunk order is ascending)
+  int64_t nf = 0;
+  for (int t = 0; t < T; t++) {
+    memcpy(fail_idx + nf, fails[t].data(), fails[t].size() * 4);
+    nf += (int64_t)fails[t].size();
+  }
+  *n_fail_out = nf;
+
+  auto* res = new W1Result();
+  res->width = W;
+  res->h1.reserve(m0.n);
+  for (auto& s : m0.slots) {
+    if (!(s.h1 | s.h2)) continue;
+    res->h1.push_back(s.h1);
+    res->h2.push_back(s.h2);
+    res->first.push_back(s.first);
+    res->count.push_back(s.count);
+    res->ex.insert(res->ex.end(), m0.arena.begin() + (size_t)s.ex_off * W,
+                   m0.arena.begin() + (size_t)(s.ex_off + 1) * W);
+  }
+  return res;
+}
+
+int64_t ktio_wave1_nkeys(void* h) { return (int64_t)((W1Result*)h)->h1.size(); }
+int32_t ktio_wave1_width(void* h) { return ((W1Result*)h)->width; }
+
+void ktio_wave1_fetch(void* h, uint64_t* h1, uint64_t* h2, int64_t* first,
+                      int64_t* count, int32_t* ex) {
+  auto* r = (W1Result*)h;
+  size_t K = r->h1.size();
+  memcpy(h1, r->h1.data(), K * 8);
+  memcpy(h2, r->h2.data(), K * 8);
+  memcpy(first, r->first.data(), K * 8);
+  memcpy(count, r->count.data(), K * 8);
+  memcpy(ex, r->ex.data(), r->ex.size() * 4);
+}
+
+void ktio_wave1_free(void* h) { delete (W1Result*)h; }
 
 }  // extern "C"

@@ -193,22 +193,21 @@ def pos_filter_rank(didx, s, fl: int, depth: int) -> jnp.ndarray:
     return jnp.where(s.has_hits, lo - lo0, -1).astype(jnp.int32)
 
 
-def device_index_from_host(index, with_pos_tables: bool = False):
+class ProbeLayout(NamedTuple):
+    """Sorted-hash layout shared by the device index tables and the host
+    wave-1 probe (native/ktio.cpp ktio_wave1): computing the argsort over
+    ~1e8 mixed keys once instead of twice."""
+
+    mk: np.ndarray            # [N] uint64 mixed canonical k-mers, sorted
+    order: np.ndarray         # [N] permutation from index order
+    p: int                    # bucket bits
+    bucket_start: np.ndarray  # [2^p + 1] int64
+    counts: np.ndarray        # [2^p] per-bucket sizes
+
+
+def probe_layout(index) -> ProbeLayout:
     mk = _mix64_np(index.kmer_keys)
     assert not (mk == _EMPTY_SLOT).any(), "hash collided with empty sentinel"
-    # anchor-kernel invariant: block ids are unitig-major and consecutive
-    # ascending with position, so a verified unitig stretch maps to the
-    # contiguous block-id range [block(p_lo), block(p_hi)]
-    bu = index.block_uid
-    if bu.shape[0] > 1:
-        assert ((np.diff(bu.astype(np.int64)) > 0)
-                | (np.diff(index.block_start.astype(np.int64)) > 0)).all(), \
-            "mosaic blocks must be unitig-major, position-ascending"
-    NB = index.block_ec.shape[0]
-    nb8 = ((NB + 9) + 7) // 8
-    be8 = np.full(nb8 * 8, -1, np.int32)
-    be8[:NB] = index.block_ec
-    block_ec8 = jnp.asarray(be8.reshape(nb8, 8))
     order = np.argsort(mk)
     mk = mk[order]
     N = mk.shape[0]
@@ -222,8 +221,32 @@ def device_index_from_host(index, with_pos_tables: bool = False):
         p += 1
     if counts.max() >= (1 << _BUCKET_SEARCH_DEPTH):
         raise ValueError("k-mer hash bucket overflow; index too large")
-    bucket_start = np.zeros((1 << p) + 1, np.int32)
+    bucket_start = np.zeros((1 << p) + 1, np.int64)
     np.cumsum(counts, out=bucket_start[1:])
+    return ProbeLayout(mk, order, p, bucket_start, counts)
+
+
+def device_index_from_host(index, with_pos_tables: bool = False,
+                           layout: Optional[ProbeLayout] = None):
+    if layout is None:
+        layout = probe_layout(index)
+    mk, order, p, counts = layout.mk, layout.order, layout.p, layout.counts
+    bucket_start = layout.bucket_start.astype(np.int32)
+    # anchor-kernel invariant: block ids are unitig-major and consecutive
+    # ascending with position, so a verified unitig stretch maps to the
+    # contiguous block-id range [block(p_lo), block(p_hi)]
+    bu = index.block_uid
+    if bu.shape[0] > 1:
+        assert ((np.diff(bu.astype(np.int64)) > 0)
+                | (np.diff(index.block_start.astype(np.int64)) > 0)).all(), \
+            "mosaic blocks must be unitig-major, position-ascending"
+    NB = index.block_ec.shape[0]
+    nb8 = ((NB + 9) + 7) // 8
+    be8 = np.full(nb8 * 8, -1, np.int32)
+    be8[:NB] = index.block_ec
+    block_ec8 = jnp.asarray(be8.reshape(nb8, 8))
+    N = mk.shape[0]
+    bid = (mk >> np.uint64(64 - p)).astype(np.int64)
     kmer_block = index.kmer_block[order]
     kmer_ec = np.where(
         kmer_block >= 0, index.block_ec[np.maximum(kmer_block, 0)], -1

@@ -435,6 +435,61 @@ class EcResolver:
         self.counts.add_at(vals[m], occ_o[m])
         self.num_mapped += int(occ_o[m].sum())
 
+    def process_compact_parts(
+        self,
+        parts,
+        R: int,
+        paired: bool,
+        do_union: bool = False,
+    ) -> None:
+        """Count a batch from MULTIPLE key histograms sharing one read-index
+        space (host wave-1 keys + device wave-2 keys; see ops/hostprobe.py).
+
+        parts: list of (uniq_h [K,2] int64, occ, first_idx -- GLOBAL read
+        indices -- , exemplar_of) where exemplar_of(sel) -> [len(sel), W]
+        int32 returns key content for positions `sel` into that part's own
+        arrays.  Keys are processed in global first-occurrence order, so EC
+        numbering matches the single-stream per-read path exactly; the
+        parts' key hashes live in disjoint namespaces (host vs device hash
+        constants), so cross-part collisions cannot merge keys.
+        """
+        parts = [p for p in parts if p[0].shape[0]]
+        if not parts:
+            return
+        hs = np.concatenate([np.ascontiguousarray(p[0]) for p in parts])
+        occ = np.concatenate([np.asarray(p[1], np.int64) for p in parts])
+        first = np.concatenate([np.asarray(p[2], np.int64) for p in parts])
+        pid = np.concatenate(
+            [np.full(p[0].shape[0], i, np.int32) for i, p in enumerate(parts)]
+        )
+        loc = np.concatenate(
+            [np.arange(p[0].shape[0], dtype=np.int64) for p in parts]
+        )
+        order = np.argsort(first, kind="stable")
+        h = np.ascontiguousarray(hs[order])
+        vals, found = self._ec_cache.lookup(h)
+        new_pos = np.flatnonzero(~found)
+        if new_pos.size:
+            sel = order[new_pos]
+            fetched: Dict[int, np.ndarray] = {}
+            for i, p in enumerate(parts):
+                m = np.flatnonzero(pid[sel] == i)
+                if m.size:
+                    ex = p[3](loc[sel[m]])
+                    for j, row in zip(m, ex):
+                        fetched[int(j)] = row
+            newvals = np.empty(new_pos.shape[0], np.int64)
+            for j in range(new_pos.shape[0]):
+                u = self._resolve_key(fetched[j], R, paired, do_union)
+                newvals[j] = self.ec_id_for(u) if u is not None else -1
+            self._ec_cache.insert(h[new_pos], newvals)
+            vals = vals.copy()
+            vals[new_pos] = newvals
+        occ_o = occ[order]
+        m = vals >= 0
+        self.counts.add_at(vals[m], occ_o[m])
+        self.num_mapped += int(occ_o[m].sum())
+
     def count_batch(
         self,
         final_idx: np.ndarray,

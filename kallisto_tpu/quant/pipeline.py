@@ -316,6 +316,39 @@ def _turbo_exceptions(batches, Bp: int) -> Optional[np.ndarray]:
     return np.concatenate(parts)
 
 
+# host-wave-1 wave-2 sub-batch shapes: failures are packed dense and
+# padded to one of a few power-of-two sizes (bounded jit variants); counts
+# above _W2MAX split into multiple dispatches
+_W2MIN = 1 << 14
+_W2MAX = 1 << 18
+
+
+def _subset_exceptions(batches, sub: np.ndarray, Bp: int) -> Optional[np.ndarray]:
+    """In-read N positions of the selected rows, as flat indices into the
+    padded concatenated [len(batches)*Bp, Lp] code matrix (turbo layout).
+    None = over EXC_CAP; caller falls back."""
+    from ..ops.turbo import EXC_CAP
+
+    Lp = batches[0].Lp
+    pats = _padding_nmask_patterns(Lp)
+    parts = []
+    total = 0
+    for s, b in enumerate(batches):
+        nm = b.nmask[sub].reshape(sub.shape[0], -1)
+        lens = b.lens[sub]
+        if not np.array_equal(nm, pats[lens]):
+            bits = np.unpackbits(nm, axis=1, bitorder="little")[:, :Lp]
+            bits[np.arange(Lp)[None, :] >= lens[:, None]] = 0
+            r, c = np.nonzero(bits)
+            parts.append((s * Bp + r.astype(np.int64)) * Lp + c)
+            total += parts[-1].size
+            if total > EXC_CAP:
+                return None
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.concatenate(parts)
+
+
 def _slice_packed(b: PackedBatch, lo: int, hi: int) -> PackedBatch:
     return PackedBatch(
         b.packed[lo:hi], b.nmask[lo:hi], b.lens[lo:hi], b.Lp,
@@ -619,7 +652,12 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     # be active (explicit -l without --single-overhang); bases are
     # fl-independent so the tables are usable for any fl
     pos_active = opt.fld_mean > 0 and not opt.single_overhang
-    didx = device_index_from_host(index, with_pos_tables=pos_active)
+    from ..ops.pseudoalign import probe_layout
+
+    layout = probe_layout(index)
+    didx = device_index_from_host(
+        index, with_pos_tables=pos_active, layout=layout
+    )
     resolver = EcResolver(index)
     w2caps = _W2Caps()
     k = index.k
@@ -685,6 +723,25 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             strand_filter, pos_filter
         )
 
+    # host wave-1 probing (ops/hostprobe.py): anchors verified on the host
+    # against the same sorted tables; only failing reads upload to the
+    # device.  This is what breaks the ~45 MB/s tunnel link wall -- upload
+    # bytes scale with the anchor-FAILURE rate instead of the read count.
+    hostprobe = None
+    if (mesh is None
+            and os.environ.get("KALLISTO_TPU_HOST_WAVE1", "1") != "0"):
+        try:
+            from ..ops.hostprobe import HostProbe
+
+            hostprobe = HostProbe(
+                index, layout, min_range=mr_key, strand_key=sk,
+                pos_key=pk, pos_fl=pf_fl,
+            )
+        except Exception as e:  # native lib unavailable: device-only path
+            _log(f"[quant] host wave-1 probing unavailable ({e})")
+            hostprobe = None
+    hw1_stats = [0, 0]  # verified reads, total steady-state reads
+
     def dispatch_pair(b1: PackedBatch, b2: PackedBatch, want_fld: bool):
         """Enqueue one pair batch on the device (async); returns a context.
 
@@ -703,6 +760,14 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                     pos_fl=pf_fl, pos_depth=pf_depth,
                 )
                 return ("cmesh", b1, b2, r1, r2, ckstack, shard_B)
+            # -- host wave-1: verify anchors on the host, upload only the
+            # failing reads for device wave-2 (ops/hostprobe.py)
+            rl_u = _uniform_len(b1, b2)
+            if hostprobe is not None and rl_u is not None and rl_u >= k:
+                hk = hostprobe.probe_pair(b1, b2, rl_u)
+                devs = _dispatch_wave2_pair(hk.fail_idx, b1, b2, rl_u)
+                if devs is not None:
+                    return ("hw1", b1, b2, hk, devs)
             # -- turbo steady state: [W, B]-layout kernel, bucketed batch
             # sizes, sparse-N slim upload (ops/turbo.py)
             Bp = _bucket_size(b1.n)
@@ -766,11 +831,103 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         hx = bias_hexamers(bt, r1, r2.has_hits, k=k) if want_bias else None
         return ("full", b1, b2, r1, r2, h, tl, hx)
 
+    def _dispatch_wave2_pair(fail_idx, b1, b2, rl):
+        """Upload ONLY the anchor-failing pairs, dense-packed, for the
+        branchless full evaluation; returns a list of per-slice device
+        contexts or None when the slice can't ride the turbo upload
+        (N-flood past EXC_CAP -> caller uses the pure-device path)."""
+        devs = []
+        nf = fail_idx.shape[0]
+        lo = 0
+        while lo < nf:
+            take = min(nf - lo, _W2MAX)
+            sub = fail_idx[lo : lo + take]
+            Bp = _bucket_size(take, lo=_W2MIN)
+            exc = _subset_exceptions((b1, b2), sub, Bp)
+            if exc is None:
+                return None
+            aux = make_aux(take, rl, exc)
+            if aux is None:
+                return None
+            r1, r2, ckflat = pseudoalign_pair_turbo(
+                didx, _pad_rows(b1.packed[sub], Bp),
+                _pad_rows(b2.packed[sub], Bp), aux, k=k, L=b1.Lp,
+                min_range=mr_key, strand_key=sk, rl=rl,
+                pos_fl=pf_fl, pos_depth=pf_depth,
+            )
+            devs.append((r1, r2, ckflat, sub))
+            lo += take
+        return devs
+
+    def _hw1_device_parts(devs, paired):
+        """Fetch + validate each wave-2 slice's key histogram; returns
+        (parts, ok).  first_idx is remapped to GLOBAL read indices via the
+        slice's fail-index list; keys first seen on a padding row (possible
+        only for the no-hit key) sort last and resolve to None."""
+        parts = []
+        for dev in devs:
+            sub = dev[-1]
+            arr = _fetch_ck(dev[-2])
+            uniq_h, occ, first_local, flags, n_uniq = unflatten_ck_host(arr)
+            valid = np.flatnonzero(occ > 0)
+            if n_uniq > occ.shape[0] or (flags[valid] & 12).any():
+                return None, False
+            fl = first_local[valid].astype(np.int64)
+            gf = np.where(
+                fl < sub.shape[0],
+                sub[np.minimum(fl, sub.shape[0] - 1)].astype(np.int64),
+                np.int64(1) << 60,
+            )
+            if paired:
+                r1, r2 = dev[0], dev[1]
+                s1, s2 = _SideArrays(r1), _SideArrays(r2)
+                fetch = _make_pair_fetcher(r1, r2, s1, s2, k, mr_key, sk, pk)
+            else:
+                r1 = dev[0]
+                fetch = _make_single_fetcher(
+                    r1, _SideArrays(r1), k, mr_key, sk, pk
+                )
+            parts.append((
+                np.ascontiguousarray(uniq_h[valid]), occ[valid], gf,
+                lambda sel, fetch=fetch, fl=fl: fetch(fl[sel]),
+            ))
+        return parts, True
+
     def process_pair(ctx):
         nonlocal num_processed, tlencount, bias_total
         if ctx[0] == "multi":
             for sub in ctx[2]:
                 process_pair(sub)
+            return
+        if ctx[0] == "hw1":
+            _, b1, b2, hk, devs = ctx
+            parts, ok = _hw1_device_parts(devs, paired=True)
+            if ok:
+                if hk.h128.shape[0]:
+                    ex = hk.exemplars
+                    parts.insert(0, (
+                        hk.h128, hk.occ, hk.first_idx,
+                        lambda sel, ex=ex: ex[sel],
+                    ))
+                resolver.process_compact_parts(
+                    parts, R=hostprobe.R, paired=True, do_union=opt.do_union
+                )
+                num_processed += b1.n
+                hw1_stats[0] += 2 * b1.n - 2 * len(hk.fail_idx)
+                hw1_stats[1] += 2 * b1.n
+                return
+            # rare: a wave-2 read overflowed its row budget or key table --
+            # redo the whole batch through the legacy per-read path
+            for lo in range(0, b1.n, _FALLBACK_CAP):
+                hi = min(lo + _FALLBACK_CAP, b1.n)
+                sb1 = _slice_packed(b1, lo, hi)
+                sb2 = _slice_packed(b2, lo, hi)
+                sr1 = _dispatch_side(didx, sb1, k)
+                sr2 = _dispatch_side(didx, sb2, k)
+                process_pair(
+                    ("full", sb1, sb2, sr1, sr2,
+                     pair_key_hash(sr1, sr2), None, None)
+                )
             return
         if ctx[0] == "turbo":
             _, b1, b2, r1, r2, ckflat, w2cap = ctx
@@ -940,6 +1097,12 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                     pos_fl=pf_fl, pos_depth=pf_depth,
                 )
                 return ("cmesh", b1, r1, ckstack, shard_B)
+            rl_u = _uniform_len(b1)
+            if hostprobe is not None and rl_u is not None and rl_u >= k:
+                hk = hostprobe.probe_single(b1, rl_u)
+                devs = _dispatch_wave2_single(hk.fail_idx, b1, rl_u)
+                if devs is not None:
+                    return ("hw1s", b1, hk, devs)
             Bp = _bucket_size(b1.n)
             exc = _turbo_exceptions((b1,), Bp)
             if exc is not None:
@@ -986,11 +1149,59 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         )
         return ("full", b1, r1, single_key_hash(r1), hx)
 
+    def _dispatch_wave2_single(fail_idx, b1, rl):
+        devs = []
+        nf = fail_idx.shape[0]
+        lo = 0
+        while lo < nf:
+            take = min(nf - lo, _W2MAX)
+            sub = fail_idx[lo : lo + take]
+            Bp = _bucket_size(take, lo=_W2MIN)
+            exc = _subset_exceptions((b1,), sub, Bp)
+            if exc is None:
+                return None
+            aux = make_aux(take, rl, exc)
+            if aux is None:
+                return None
+            r1, ckflat = pseudoalign_single_turbo(
+                didx, _pad_rows(b1.packed[sub], Bp), aux, k=k, L=b1.Lp,
+                min_range=mr_key, strand_key=sk, rl=rl,
+                pos_fl=pf_fl, pos_depth=pf_depth,
+            )
+            devs.append((r1, ckflat, sub))
+            lo += take
+        return devs
+
     def process_single(ctx):
         nonlocal num_processed, bias_total
         if ctx[0] == "multi":
             for sub in ctx[2]:
                 process_single(sub)
+            return
+        if ctx[0] == "hw1s":
+            _, b1, hk, devs = ctx
+            parts, ok = _hw1_device_parts(devs, paired=False)
+            if ok:
+                if hk.h128.shape[0]:
+                    ex = hk.exemplars
+                    parts.insert(0, (
+                        hk.h128, hk.occ, hk.first_idx,
+                        lambda sel, ex=ex: ex[sel],
+                    ))
+                resolver.process_compact_parts(
+                    parts, R=hostprobe.R, paired=False, do_union=opt.do_union
+                )
+                num_processed += b1.n
+                hw1_stats[0] += b1.n - len(hk.fail_idx)
+                hw1_stats[1] += b1.n
+                return
+            for lo in range(0, b1.n, _FALLBACK_CAP):
+                hi = min(lo + _FALLBACK_CAP, b1.n)
+                sb1 = _slice_packed(b1, lo, hi)
+                sr1 = _dispatch_side(didx, sb1, k)
+                process_single(
+                    ("full", sb1, sr1, single_key_hash(sr1), None)
+                )
             return
         if ctx[0] == "turbo":
             _, b1, r1, ckflat, w2cap = ctx
@@ -1257,6 +1468,12 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         _log(
             f"[quant] pseudoalignment throughput: "
             f"{num_processed / _loop_dt:,.0f} reads/s"
+        )
+    if opt.verbose and hw1_stats[1]:
+        _log(
+            "[quant] host wave-1 verified "
+            f"{100.0 * hw1_stats[0] / hw1_stats[1]:.1f}% of "
+            f"{hw1_stats[1]:,} steady-state mates on the host"
         )
     if opt.bias:
         _log("[quant] learning parameters for sequence specific bias")
