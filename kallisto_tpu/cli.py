@@ -60,12 +60,23 @@ def _cmd_index(args):
         # lookup), so the flag cannot change the result
         print("[build] note: -m/--min-size has no effect (this index uses "
               "hashed k-mer lookup, not minimizers)", file=sys.stderr)
+    dlist_paths = args.d_list.split(",") if args.d_list else None
+    overhang = args.d_list_overhang
+    if args.aa and dlist_paths and overhang < 3:
+        # reference: main.cpp:140-146
+        print(
+            "[index] --d-list-overhang was set to 3 (with --aa, the d-list "
+            "overhang must be >= 3)",
+            file=sys.stderr,
+        )
+        overhang = 3
     index = build_index(
         args.fasta,
         k=args.kmer_size,
         make_unique=args.make_unique,
         max_ec_size=args.max_ec_size,
-        dlist_paths=[args.d_list] if args.d_list else None,
+        dlist_paths=dlist_paths,
+        dlist_overhang=overhang,
         aa=args.aa,
         distinguish=args.distinguish,
     )
@@ -299,7 +310,12 @@ def main(argv=None):
     p.add_argument("-T", "--tmp", default="tmp")
     p.add_argument("-m", "--min-size", type=int, default=-1)
     p.add_argument("--distinguish", action="store_true")
-    p.add_argument("-d", "--d-list", default=None)
+    p.add_argument("-d", "--d-list", default=None,
+                   help="comma-separated FASTA/FASTQ file(s) of sequences "
+                        "to discard (reference: main.cpp:116-125)")
+    p.add_argument("-D", "--d-list-overhang", type=int, default=1,
+                   help="overhang to include for D-list k-mers "
+                        "(default: 1; coerced to >= 3 with --aa)")
     p.add_argument("-e", "--max-ec-size", type=int, default=-1)
     p.add_argument("fasta", nargs="+")
     p.set_defaults(fn=_cmd_index)

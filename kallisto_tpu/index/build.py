@@ -186,59 +186,82 @@ def _parse_distinguish(fasta_paths: Sequence[str], k: int):
     return seqs, np.array(seq_color, np.int64), seq_shade, target_names, target_lens, ncolors
 
 
+def _dlist_records(dlist_paths: Sequence[str], aa: bool):
+    """Yield (name, seq) D-list records; with --aa each nucleotide record
+    expands to its SIX comma-free-code frames (3 forward + 3 on the
+    reverse complement), named records staying named and specials special
+    (reference: the aa frame-translation prologue of DListFlankingKmers,
+    src/KmerIndex.cpp:790-860)."""
+    from ..io.fastx import read_fasta
+
+    for path in dlist_paths:
+        for header, seq in read_fasta(path):
+            name = header.split()[0] if header.split() else ""
+            if not aa:
+                yield name, seq
+                continue
+            from ..utils.cfc import nt_to_cfc_str, revcomp_str
+
+            rc = revcomp_str(seq)
+            for src in (seq, rc):
+                for frame in range(3):
+                    yield name, nt_to_cfc_str(src[frame:])
+
+
 def _dlist_collect(
-    dlist_paths: Sequence[str], keys: np.ndarray, k: int, overhang: int = 1
+    dlist_paths: Sequence[str], keys: np.ndarray, k: int, overhang: int = 1,
+    aa: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Collect D-list k-mers (reference: KmerIndex::DListFlankingKmers,
     src/KmerIndex.cpp:682-1003).
 
     Named sequences contribute *flanking* k-mers: the unmapped k-mers
     immediately bordering each maximal graph-covered stretch (up to
-    `overhang` on each side, with the reference's exact lb>=1 / ub+k<len
+    `overhang` on each side -- -D/--d-list-overhang, reference:
+    src/main.cpp:126-129 -- with the reference's exact lb>=1 / ub+k<len
     guards).  Unnamed ("special") records contribute every k-mer.
     Returns (flank_canon, special_canon) as sorted unique uint64 arrays.
     Divergence from the reference: k-mers containing 1-3 non-ACGT bases
     are dropped here (the reference keeps them with bifrost's 2-bit
-    coercion); such k-mers cannot match any N-free read k-mer anyway.
+    coercion), and overhang k-mers are only taken at in-bounds window
+    starts (the reference's trailing loop can read past the sequence end
+    for overhang > 1); coerced/out-of-bounds k-mers cannot match any
+    N-free read k-mer anyway.
     """
-    from ..io.fastx import read_fasta
-
     flank: List[np.ndarray] = []
     special: List[np.ndarray] = []
-    for path in dlist_paths:
-        for header, seq in read_fasta(path):
-            name = header.split()[0] if header.split() else ""
-            s = seq.upper()
-            if len(s) < k:
-                continue
-            codes = BASE_CODE[np.frombuffer(s.encode(), dtype=np.uint8)]
-            km, valid = pack_kmers(codes, k)
-            canon, _ = canonicalize(km, k)
-            if name == "":
-                special.append(canon[valid])
-                continue
-            idx = np.searchsorted(keys, canon)
-            idx_c = np.minimum(idx, max(keys.shape[0] - 1, 0))
-            mapped = valid & (
-                keys[idx_c] == canon if keys.size else np.zeros_like(valid)
-            )
-            n = mapped.shape[0]
-            # maximal mapped runs [a, b)
-            d = np.diff(np.concatenate([[0], mapped.view(np.int8), [0]]))
-            starts = np.flatnonzero(d == 1)
-            ends = np.flatnonzero(d == -1)
-            take = []
-            for a, b in zip(starts, ends):
-                lb = a - 1
-                for i in range(min(lb, overhang)):
-                    if valid[lb - i]:
-                        take.append(canon[lb - i])
-                if b > lb and b + k < len(s):
-                    for i in range(min(len(s) - b, overhang)):
-                        if b + i < n and valid[b + i]:
-                            take.append(canon[b + i])
-            if take:
-                flank.append(np.array(take, np.uint64))
+    for name, seq in _dlist_records(dlist_paths, aa):
+        s = seq.upper()
+        if len(s) < k:
+            continue
+        codes = BASE_CODE[np.frombuffer(s.encode(), dtype=np.uint8)]
+        km, valid = pack_kmers(codes, k)
+        canon, _ = canonicalize(km, k)
+        if name == "":
+            special.append(canon[valid])
+            continue
+        idx = np.searchsorted(keys, canon)
+        idx_c = np.minimum(idx, max(keys.shape[0] - 1, 0))
+        mapped = valid & (
+            keys[idx_c] == canon if keys.size else np.zeros_like(valid)
+        )
+        n = mapped.shape[0]
+        # maximal mapped runs [a, b)
+        d = np.diff(np.concatenate([[0], mapped.view(np.int8), [0]]))
+        starts = np.flatnonzero(d == 1)
+        ends = np.flatnonzero(d == -1)
+        take = []
+        for a, b in zip(starts, ends):
+            lb = a - 1
+            for i in range(min(lb, overhang)):
+                if valid[lb - i]:
+                    take.append(canon[lb - i])
+            if b > lb and b + k < len(s):
+                for i in range(min(len(s) - b, overhang)):
+                    if b + i < n and valid[b + i]:
+                        take.append(canon[b + i])
+        if take:
+            flank.append(np.array(take, np.uint64))
     fl = (
         np.unique(np.concatenate(flank)) if flank else np.empty(0, np.uint64)
     )
@@ -890,6 +913,7 @@ def build_index(
     make_unique: bool = False,
     max_ec_size: int = -1,
     dlist_paths: Optional[Sequence[str]] = None,
+    dlist_overhang: int = 1,
     aa: bool = False,
     distinguish: bool = False,
 ) -> TpuIndex:
@@ -922,7 +946,9 @@ def build_index(
     dl_all = np.empty(0, np.uint64)
     dummy_canon = None
     if dlist_paths:
-        flank, special = _dlist_collect(dlist_paths, keys, k)
+        flank, special = _dlist_collect(
+            dlist_paths, keys, k, overhang=dlist_overhang, aa=aa
+        )
         in_graph_fl = np.isin(flank, keys)
         dl_all = np.unique(np.concatenate([flank[~in_graph_fl], special]))
         not_in_graph = dl_all[~np.isin(dl_all, keys)]

@@ -87,6 +87,37 @@ def nt_to_cfc_codes(
     return out, cfc_lens
 
 
+_CHAR_CODE = np.full(256, 4, np.uint8)
+for _ch, _v in (("A", 0), ("C", 1), ("G", 2), ("T", 3)):
+    _CHAR_CODE[ord(_ch)] = _v
+    _CHAR_CODE[ord(_ch.lower())] = _v
+_OUT_CHARS = np.frombuffer(b"ACGTN", np.uint8)
+
+
+def nt_to_cfc_str(s: str) -> str:
+    """Translate a nucleotide string codon-by-codon to a CFC string
+    (full codons only; stops/invalid -> NNN).  String-level counterpart
+    of nt_to_cfc_codes (reference: nn_to_cfc, src/KmerIndex.cpp:118-138);
+    used for --aa D-list frame expansion."""
+    b = np.frombuffer(s.encode(), np.uint8)
+    c = _CHAR_CODE[b]
+    nc = c.shape[0] // 3
+    if nc == 0:
+        return ""
+    c3 = c[: 3 * nc].reshape(nc, 3).astype(np.int64)
+    bad = (c3 >= 4).any(axis=1)
+    cid = np.where(bad, 64, c3[:, 0] * 16 + c3[:, 1] * 4 + c3[:, 2])
+    return bytes(_OUT_CHARS[CODON_CFC[cid].reshape(-1)]).decode()
+
+
+def revcomp_str(s: str) -> str:
+    """Reverse complement with non-ACGT -> N (reference: revcomp,
+    src/common.cpp:36-53)."""
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A",
+            "a": "T", "c": "G", "g": "C", "t": "A"}
+    return "".join(comp.get(ch, "N") for ch in reversed(s))
+
+
 def revcomp_codes(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Per-read reverse complement of a padded code matrix (pads stay 4)."""
     B, L = codes.shape

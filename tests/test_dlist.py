@@ -129,3 +129,89 @@ def test_dfk_onlist_sentinel_semantics(data_dir):
     )
     assert ref is not None and ref.tolist() == [0]
     assert got is not None and got.tolist() == [0, S]
+
+
+def test_dlist_overhang3_byte_exact(data_dir, golden_dir, tmp_path):
+    """-D/--d-list-overhang 3: up to 3 flanking k-mers per run boundary
+    (reference: main.cpp:126-129 + DListFlankingKmers overhang loops,
+    src/KmerIndex.cpp:728-776).  Golden from the reference binary."""
+    index = build_index(
+        [os.path.join(data_dir, "transcripts.fasta.gz")], k=31,
+        dlist_paths=[os.path.join(data_dir, "dlist.fasta")],
+        dlist_overhang=3,
+    )
+    # reference reports 12 D-list k-mers at overhang 3 (4 at overhang 1)
+    assert index.dlist_keys.shape[0] == 12
+    out = str(tmp_path / "q")
+    res = run_quant(Options(
+        files=[os.path.join(data_dir, "reads_1.fastq.gz"),
+               os.path.join(data_dir, "reads_2.fastq.gz"),
+               os.path.join(data_dir, "contam_1.fastq.gz"),
+               os.path.join(data_dir, "contam_2.fastq.gz")],
+        output_dir=out, plaintext=True,
+    ), index=index)
+    assert res.num_pseudoaligned == 9566  # one extra pair vetoed vs D=1
+    mine = open(os.path.join(out, "abundance.tsv")).read()
+    golden = open(
+        os.path.join(golden_dir, "quant_dlist_D3", "abundance.tsv")
+    ).read()
+    assert mine == golden
+
+
+def test_dlist_multi_file_byte_exact(data_dir, golden_dir, tmp_path):
+    """Comma-separated -d file lists: multiple D-list FASTAs merge
+    (reference: main.cpp:116-125).  Golden from the reference binary run
+    with `-d part1,part2`."""
+    index = build_index(
+        [os.path.join(data_dir, "transcripts.fasta.gz")], k=31,
+        dlist_paths=[os.path.join(data_dir, "dlist_part1.fasta"),
+                     os.path.join(data_dir, "dlist_part2.fasta")],
+    )
+    out = str(tmp_path / "q")
+    res = run_quant(Options(
+        files=[os.path.join(data_dir, "reads_1.fastq.gz"),
+               os.path.join(data_dir, "reads_2.fastq.gz"),
+               os.path.join(data_dir, "contam_1.fastq.gz"),
+               os.path.join(data_dir, "contam_2.fastq.gz")],
+        output_dir=out, plaintext=True,
+    ), index=index)
+    assert res.num_pseudoaligned == 9567
+    mine = open(os.path.join(out, "abundance.tsv")).read()
+    golden = open(
+        os.path.join(golden_dir, "quant_dlist_multi", "abundance.tsv")
+    ).read()
+    assert mine == golden
+
+
+def test_dlist_aa_six_frame_byte_exact(data_dir, golden_dir, tmp_path):
+    """--aa + -d: the D-list genome is translated to comma-free code in
+    all six frames and the overhang is coerced to 3 (reference:
+    main.cpp:140-146, KmerIndex.cpp:790-860).  BUS output byte-identical
+    to the reference on reads tiling the contaminant."""
+    import gzip
+    import shutil
+
+    from kallisto_tpu.sc.bus import run_bus
+
+    index = build_index(
+        [os.path.join(data_dir, "aa_ref.fasta")], k=7, aa=True,
+        dlist_paths=[os.path.join(data_dir, "dlist_nn.fasta")],
+        dlist_overhang=3,
+    )
+    # mixed input: the 4 on-target reads + 10 contaminant-tiling reads
+    mix = str(tmp_path / "mix_nn.fastq.gz")
+    with open(mix, "wb") as f:
+        for src in ("virus_nn_frame0.fastq.gz", "contam_nn.fastq.gz"):
+            with open(os.path.join(data_dir, src), "rb") as g:
+                shutil.copyfileobj(g, f)
+    out = str(tmp_path / "bus")
+    res = run_bus(Options(
+        files=[mix], output_dir=out, technology="bulk", aa=True,
+    ), index=index)
+    assert (res.num_processed, res.num_pseudoaligned) == (14, 5)
+    for fn in ("output.bus", "matrix.ec"):
+        mine = open(os.path.join(out, fn), "rb").read()
+        golden = open(
+            os.path.join(golden_dir, "bus_aa_dlist", fn), "rb"
+        ).read()
+        assert mine == golden, fn
