@@ -68,6 +68,12 @@ from .fld import (
 )
 
 _FLEN_GOAL = 10000  # reference: ProcessReads.cpp:985
+
+
+def _flen_goal() -> int:
+    """FLD subsample size (env-overridable so tests can place the global
+    cut inside a multi-host shard boundary)."""
+    return int(os.environ.get("KALLISTO_TPU_FLEN_GOAL", _FLEN_GOAL))
 _BIAS_GOAL = 1000000  # reference: ProcessReads.h:178 maxBiasCount
 
 
@@ -672,6 +678,8 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     paired = opt.paired
     estimate_fld = paired and opt.fld_mean == 0.0 and not opt.long_read
     flens = np.zeros(MAX_FRAG_LEN, np.int64)
+    flen_goal = _flen_goal()
+    fl_samples: List[np.ndarray] = []  # eligible lengths in READ order
     tlencount = 0
     num_processed = 0
     bias5 = np.zeros(NUM_6MERS, np.int64)
@@ -1073,7 +1081,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             m = (read_ec >= 0) & (hx_h >= 0)
             np.add.at(bias5, hx_h[m], 1)
             bias_total += int(m.sum())
-        if tl is not None and tlencount < _FLEN_GOAL:
+        if tl is not None and tlencount < flen_goal:
             tl_h = np.asarray(tl)[: b1.n]
             ok = (
                 (tl_h > 0)
@@ -1082,8 +1090,8 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 & s1.has_hits
                 & s2.has_hits
             )
-            take = np.flatnonzero(ok)[: _FLEN_GOAL - tlencount]
-            np.add.at(flens, tl_h[take], 1)
+            take = np.flatnonzero(ok)[: flen_goal - tlencount]
+            fl_samples.append(tl_h[take].astype(np.int64))
             tlencount += take.shape[0]
 
     def dispatch_single(b1: PackedBatch):
@@ -1360,6 +1368,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             b for f in opt.files
             for b in packed_single_batches(f, min(opt.batch_size, 16384), k)
         )
+        lr_cache: dict = {}
         for b1 in batch_iter:
             lr = pseudoalign_long_packed(
                 didx, b1.packed, b1.nmask, b1.lens, k=k, L=b1.Lp
@@ -1372,7 +1381,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             # (reference: ProcessReads.cpp:1051-1056)
             novel = unmapped > opt.threshold * b1.lens
             sets = resolve_long_batch(
-                rows_h, groups, ngr, unmasked, index.num_onlist
+                rows_h, groups, ngr, unmasked, index.num_onlist, lr_cache
             )
             final_idx = np.arange(b1.n, dtype=np.int64)
             final_sets = [
@@ -1424,10 +1433,10 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             progress.update(ctx[1].n, num_processed)
 
         for b1, b2 in batch_iter:
-            if estimate_fld and tlencount < _FLEN_GOAL:
+            if estimate_fld and tlencount < flen_goal:
                 while pend:
                     _drain_one()
-            want_fld = estimate_fld and tlencount < _FLEN_GOAL
+            want_fld = estimate_fld and tlencount < flen_goal
             pend.append(dispatch_pair(b1, b2, want_fld))
             if len(pend) > 2:
                 _drain_one()
@@ -1484,12 +1493,44 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     if resolver.num_mapped == 0 and n_hosts == 1:
         _log("[~warn] no reads pseudoaligned.")
 
+    # FLD sample -> histogram.  Multi-host runs merge the per-host sample
+    # PREFIXES in rank order (rank order == global read order, since each
+    # host works a contiguous file shard) and take the global first 10k --
+    # bit-identical to a single-process run, and deterministic where the
+    # reference's own "first 10k" is thread-timing dependent (SURVEY
+    # section 4 calls for exactly this improvement).
+    fl_vec = (
+        np.concatenate(fl_samples) if fl_samples else np.empty(0, np.int64)
+    )
+    if n_hosts > 1 and estimate_fld:
+        from jax.experimental import multihost_utils
+
+        buf = np.zeros(flen_goal + 1, np.int64)
+        buf[0] = fl_vec.shape[0]
+        buf[1 : 1 + fl_vec.shape[0]] = fl_vec
+        allv = np.asarray(
+            multihost_utils.process_allgather(buf)
+        ).reshape(n_hosts, -1)
+        need = flen_goal
+        parts = []
+        for hh in range(n_hosts):
+            t = min(int(allv[hh, 0]), need)
+            if t > 0:
+                parts.append(allv[hh, 1 : 1 + t])
+                need -= t
+            if need == 0:
+                break
+        fl_vec = (
+            np.concatenate(parts) if parts else np.empty(0, np.int64)
+        )
+    np.add.at(flens, fl_vec, 1)
+
     if n_hosts > 1:
         # deterministic cross-host merge: allgather the tiny per-host
         # (set -> count) maps and re-merge in rank order == global read
-        # order, reproducing single-process EC numbering exactly.  FLD /
-        # bias histograms sum (with estimated FLD the first-10k subsample
-        # is per-host; pass -l/-s for bit-exact multi-host parity).
+        # order, reproducing single-process EC numbering exactly.  The
+        # bias histogram sums; the FLD histogram was already globally
+        # rank-merged above.
         from jax.experimental import multihost_utils
 
         from ..parallel.multihost import merge_host_ec_maps
@@ -1505,12 +1546,11 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             resolver.counts.append(int(c))
         resolver.num_mapped = int(merged_counts.sum())
         sums = np.asarray(multihost_utils.process_allgather(
-            np.concatenate([[np.int64(num_processed)], flens,
+            np.concatenate([[np.int64(num_processed)],
                             bias5, [np.int64(bias_total)]])
         )).reshape(n_hosts, -1).sum(axis=0)
         num_processed = int(sums[0])
-        flens = sums[1 : 1 + MAX_FRAG_LEN].astype(np.int64)
-        bias5 = sums[1 + MAX_FRAG_LEN : 1 + MAX_FRAG_LEN + NUM_6MERS]
+        bias5 = sums[1 : 1 + NUM_6MERS]
         bias_total = int(sums[-1])
         _log(
             f"[quant] multi-host merge: {n_hosts} hosts, "

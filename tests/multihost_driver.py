@@ -12,6 +12,9 @@ pid, nproc, coord, out = (
     int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
 )
 files = sys.argv[5:]
+est_fld = files and files[0] == "--est-fld"
+if est_fld:
+    files = files[1:]
 
 os.environ["KALLISTO_TPU_NO_MALLOC_TUNE"] = "1"
 os.environ.setdefault(
@@ -36,8 +39,8 @@ index = build_index(
 opt = Options(
     files=files,
     output_dir=out,
-    fld_mean=180.0,
-    fld_sd=20.0,
+    fld_mean=0.0 if est_fld else 180.0,
+    fld_sd=0.0 if est_fld else 20.0,
     plaintext=True,
     write_index=True,
 )

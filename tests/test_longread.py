@@ -66,3 +66,40 @@ def test_long_read_novel_fastq(long_result, golden_dir):
     )
 
 
+
+
+def test_mode_ecs_batch_matches_scalar(test_index):
+    """Vectorized lock-step modeECs == the scalar reference machine on
+    randomized group sequences (incl. empty-EC -1 entries, repeats, and
+    truncated/padded tails)."""
+    import numpy as np
+
+    from kallisto_tpu.quant.ecmap import EcResolver
+    from kallisto_tpu.quant.longread import mode_ecs, mode_ecs_batch
+
+    resolver = EcResolver(test_index, mask_offlist=False)
+    NR = test_index.num_ec_rows
+    rng = np.random.default_rng(21)
+    B, G = 512, 24
+    groups = np.full((B, G), -2, np.int32)
+    n_groups = rng.integers(0, G + 1, B).astype(np.int32)
+    for r in range(B):
+        n = int(n_groups[r])
+        seq = rng.integers(-1, NR, n)
+        # encourage runs and repeats
+        for i in range(1, n):
+            if rng.random() < 0.4:
+                seq[i] = seq[i - 1]
+        groups[r, :n] = seq
+    row_card = np.diff(test_index.ec_ptr)
+    got = mode_ecs_batch(groups, n_groups, row_card)
+    for r in range(B):
+        g = groups[r, : n_groups[r]]
+        g = g[g != -2]
+        want = mode_ecs(g, resolver)
+        if want is None:
+            assert got[r] == -1, r
+        else:
+            np.testing.assert_array_equal(
+                resolver._row(int(got[r])), want, err_msg=str(r)
+            )

@@ -77,3 +77,58 @@ def test_two_process_quant_parity(data_dir, tmp_path, test_index):
                 assert ja[k] == jb[k], k
         else:
             assert a == b, fname
+
+
+def test_two_process_estimated_fld_parity(data_dir, tmp_path, test_index):
+    """ESTIMATED-FLD multi-host run == single-process run bit-for-bit:
+    the global first-10k fragment-length subsample is merged in rank
+    order (= global read order), removing the per-host divergence (and
+    beating the reference's thread-timing-dependent 'first 10k',
+    SURVEY section 4)."""
+    files = [
+        os.path.join(data_dir, "bulkb0_1.fastq.gz"),
+        os.path.join(data_dir, "bulkb0_2.fastq.gz"),
+        os.path.join(data_dir, "bulkb1_1.fastq.gz"),
+        os.path.join(data_dir, "bulkb1_2.fastq.gz"),
+    ]
+    from kallisto_tpu.common import Options
+    from kallisto_tpu.quant.pipeline import run_quant
+
+    # goal 2000 places the global subsample cut INSIDE host 1's shard
+    # (host 0 holds 1500 pairs): a per-host or summed merge would differ
+    os.environ["KALLISTO_TPU_FLEN_GOAL"] = "2000"
+    try:
+        ref_out = str(tmp_path / "single")
+        ref = run_quant(
+            Options(files=files, output_dir=ref_out, plaintext=True,
+                    write_index=True),
+            index=test_index,
+        )
+    finally:
+        del os.environ["KALLISTO_TPU_FLEN_GOAL"]
+    assert 0 < ref.flens.sum() <= 2000  # the estimate path actually sampled
+
+    mh_out = str(tmp_path / "multi")
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["KALLISTO_TPU_FLEN_GOAL"] = "2000"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "multihost_driver.py"),
+             str(pid), "2", coord, mh_out, "--est-fld"] + files,
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode())
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+    for fname in ("abundance.tsv", "counts.txt"):
+        a = open(os.path.join(ref_out, fname)).read()
+        b = open(os.path.join(mh_out, fname)).read()
+        assert a == b, fname
