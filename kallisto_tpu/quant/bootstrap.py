@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 from ..utils.mt19937 import MT19937_64
-from .em import EmProblem, _run_em_batch_jax
+from .em import EmProblem, _run_em_batch_jax, em_accel_device
 
 
 def bootstrap_seeds(seed: int, n: int) -> List[int]:
@@ -43,7 +43,13 @@ def run_bootstraps(
     n_iter: int = 10000,
     min_rounds: int = 50,
 ) -> np.ndarray:
-    """Returns bootstrap alphas [n_bootstrap, T] (float64, CPU EM)."""
+    """Returns bootstrap alphas [n_bootstrap, T].
+
+    Device/precision: CPU float64 for small problems (the parity leg);
+    ONE vmapped float32 EM on the accelerator when the batched work is
+    large (the TPU leg of the reference's BootstrapThreadPool,
+    src/Bootstrap.cpp:15-92 -- resampling noise dominates f32 rounding).
+    """
     T = problem.num_trans
     seeds = bootstrap_seeds(seed, n_bootstrap)
     resampled = np.stack([resample_counts(counts, s) for s in seeds])  # [B, E_all]
@@ -53,6 +59,22 @@ def run_bootstraps(
         singleton_b[:, problem.singleton_tx] = resampled[:, problem.singleton_ec]
     multi_b = resampled[:, problem.multi_ec_ids]
     inv_eff = 1.0 / eff_lens.astype(np.float64)
+
+    accel = em_accel_device(n_bootstrap * int(problem.flat_tx.shape[0]))
+    if accel is not None:
+        with jax.default_device(accel):
+            alpha, _, _ = _run_em_batch_jax(
+                singleton_b.astype(np.float32),
+                problem.flat_tx,
+                problem.flat_ec,
+                multi_b.astype(np.float32),
+                inv_eff.astype(np.float32),
+                num_trans=T,
+                num_multi=int(problem.multi_ec_ids.shape[0]),
+                n_iter=n_iter,
+                min_rounds=min_rounds,
+            )
+        return np.asarray(alpha).astype(np.float64)
 
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):

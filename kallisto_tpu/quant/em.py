@@ -18,10 +18,16 @@ Convergence matches EMAlgorithm.h:171-222: stop when no transcript with
 next_alpha > 1e-2 changes by more than 1% relative, after min_rounds; then
 zero out alpha < 1e-8 and run one final iteration.
 
-Runs in float64.  On CPU (the default for the small EM problem) this is
-native; the bootstrap path vmaps the same update in float32 on the TPU.
+Device placement: the MAIN EM runs on CPU in float64 -- that is the
+byte-parity path (f64 matches the reference's doubles, and a fixed
+reduction order keeps abundance.tsv byte-identical).  The BOOTSTRAP EM
+(quant/bootstrap.py) and the per-cell quant-tcc EM move to the
+accelerator in float32 when the batched problem is big enough to beat
+the transfer+dispatch cost (resampling noise dominates f32 rounding
+there); KALLISTO_TPU_EM_DEVICE=cpu|tpu|auto overrides.
 """
 
+import os
 from functools import partial
 from typing import List, NamedTuple, Optional, Tuple
 
@@ -35,6 +41,34 @@ from ..common import (
     EM_ALPHA_LIMIT,
     EM_TOLERANCE,
 )
+
+
+# batched-EM work threshold (flat CSR entries x replicates) above which
+# the accelerator beats CPU including transfers; measured on the axon
+# v5e tunnel where per-dispatch latency is ~25 ms
+_EM_ACCEL_WORK = 2_000_000
+
+
+def em_accel_device(work: int):
+    """Device for a batched (bootstrap / per-cell) EM of `work` flat
+    entries, or None to stay on CPU float64.
+
+    auto: use the accelerator when one exists and the problem is large;
+    KALLISTO_TPU_EM_DEVICE=cpu|tpu forces either leg."""
+    mode = os.environ.get("KALLISTO_TPU_EM_DEVICE", "auto")
+    if mode == "cpu":
+        return None
+    try:
+        dev = jax.devices()[0]
+    except Exception:
+        return None
+    if mode == "tpu":
+        # forced accelerator leg (on the CPU backend this still exercises
+        # the float32 + mesh-sharded code path -- used by tests)
+        return dev
+    if dev.platform == "cpu":
+        return None
+    return dev if work >= _EM_ACCEL_WORK else None
 
 
 class EmProblem(NamedTuple):

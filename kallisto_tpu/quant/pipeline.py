@@ -749,6 +749,14 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             _log(f"[quant] host wave-1 probing unavailable ({e})")
             hostprobe = None
     hw1_stats = [0, 0]  # verified reads, total steady-state reads
+    # KALLISTO_TPU_TIMING=1: per-batch phase timing on stderr (probe /
+    # wave-2 dispatch / histogram fetch / resolve) for perf triage
+    _timing = os.environ.get("KALLISTO_TPU_TIMING", "") == "1"
+
+    def _tlog(tag, t0):
+        if _timing:
+            _log(f"[time] {tag} {time.time() - t0:.3f}s")
+        return time.time()
 
     def dispatch_pair(b1: PackedBatch, b2: PackedBatch, want_fld: bool):
         """Enqueue one pair batch on the device (async); returns a context.
@@ -772,8 +780,11 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             # failing reads for device wave-2 (ops/hostprobe.py)
             rl_u = _uniform_len(b1, b2)
             if hostprobe is not None and rl_u is not None and rl_u >= k:
+                t0 = time.time()
                 hk = hostprobe.probe_pair(b1, b2, rl_u)
+                t0 = _tlog("probe", t0)
                 devs = _dispatch_wave2_pair(hk.fail_idx, b1, b2, rl_u)
+                _tlog(f"w2dispatch nf={len(hk.fail_idx)}", t0)
                 if devs is not None:
                     return ("hw1", b1, b2, hk, devs)
             # -- turbo steady state: [W, B]-layout kernel, bucketed batch
@@ -909,7 +920,9 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             return
         if ctx[0] == "hw1":
             _, b1, b2, hk, devs = ctx
+            t0 = time.time()
             parts, ok = _hw1_device_parts(devs, paired=True)
+            t0 = _tlog("w2fetch", t0)
             if ok:
                 if hk.h128.shape[0]:
                     ex = hk.exemplars
@@ -920,6 +933,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 resolver.process_compact_parts(
                     parts, R=hostprobe.R, paired=True, do_union=opt.do_union
                 )
+                _tlog("resolve", t0)
                 num_processed += b1.n
                 hw1_stats[0] += 2 * b1.n - 2 * len(hk.fail_idx)
                 hw1_stats[1] += 2 * b1.n
@@ -1032,16 +1046,21 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             # recover via the per-read path
             ctx = ("full", b1, b2, r1, r2, pair_key_hash(r1, r2), None, None)
         _, b1, b2, r1, r2, h, tl, hx = ctx
+        t0 = time.time()
         s1, s2 = _SideArrays(r1, b1.n), _SideArrays(r2, b1.n)
         R = int(r1.rows.shape[1])
+        hh = np.asarray(h)[: b1.n]
+        t0 = _tlog("full:hashes", t0)
         read_uidx, uniq_sets = resolver.resolve_batch_hashed(
-            np.asarray(h)[: b1.n], _make_pair_fetcher(r1, r2, s1, s2), R,
+            hh, _make_pair_fetcher(r1, r2, s1, s2), R,
             paired=True, do_union=opt.do_union,
         )
+        t0 = _tlog("full:resolve", t0)
         _apply_overflow_fallback(
             resolver, index, read_uidx, uniq_sets, opt.do_union,
             (s1, b1), (s2, b2),
         )
+        t0 = _tlog("full:overflow", t0)
         final_idx, final_sets = read_uidx, uniq_sets
         if opt.min_range > 1:
             # a mate whose hit span is under min_range empties its EC set

@@ -24,6 +24,7 @@ from .em import (
     EmProblem,
     build_em_problem,
     counts_to_tpm,
+    em_accel_device,
     read_priors,
     _run_em_batch_jax,
 )
@@ -237,29 +238,70 @@ def run_quant_tcc(opt: Options, index=None, chunk: int = 256) -> TccResult:
     # PacBio-style long-read EM adds singleton counts after the loop
     # (reference: EMAlgorithm.h:111,224-357; ONT uses the standard loop)
     singletons_after = opt.long_read and opt.platform.upper() != "ONT"
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        for lo in range(0, C, chunk):
-            hi = min(lo + chunk, C)
-            sa = np.zeros((hi - lo, T), np.float64)
-            post = None
-            if problem.singleton_tx.size:
-                sa[:, problem.singleton_tx] = counts[lo:hi][:, problem.singleton_ec]
-            if singletons_after:
-                post = sa
-                sa = np.zeros((hi - lo, T), np.float64)
-            mc = counts[lo:hi][:, problem.multi_ec_ids]
-            inv_eff = 1.0 / eff_lens[lo:hi]
+    # device/precision policy: CPU float64 (parity leg) for small runs; a
+    # float32 accelerator EM -- sharded over the device mesh when -t asks
+    # for several chips -- once the batched work is large (the TPU-native
+    # form of the reference's per-cell EM thread pool, main.cpp:3182-3195)
+    accel = em_accel_device(chunk * int(problem.flat_tx.shape[0]))
+    n_dev = max(opt.n_devices, min(opt.threads, len(jax.devices())), 1)
+    mesh = None
+    if accel is not None and n_dev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("cells",))
+        cell_sharding = NamedSharding(mesh, PartitionSpec("cells"))
+        chunk = -(-chunk // n_dev) * n_dev
+
+    def _em_chunk(sa, mc, ie):
+        if accel is not None:
+            sa, mc, ie = (
+                a.astype(np.float32) for a in (sa, mc, ie)
+            )
+            if mesh is not None:
+                pad = -sa.shape[0] % n_dev
+                if pad:
+                    z = np.zeros((pad,) + sa.shape[1:], np.float32)
+                    sa = np.concatenate([sa, z])
+                    mc = np.concatenate([mc, np.zeros((pad,) + mc.shape[1:], np.float32)])
+                    ie = np.concatenate([ie, np.ones((pad,) + ie.shape[1:], np.float32)])
+                sa, mc, ie = (
+                    jax.device_put(a, cell_sharding) for a in (sa, mc, ie)
+                )
+        from contextlib import nullcontext
+
+        if accel is None:
+            ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+        elif mesh is None:
+            ctx = jax.default_device(accel)
+        else:
+            ctx = nullcontext()  # inputs are already mesh-sharded
+        with ctx:
             alpha, _, _ = _run_em_batch_jax(
-                sa, problem.flat_tx, problem.flat_ec, mc, inv_eff,
+                sa, problem.flat_tx, problem.flat_ec, mc, ie,
                 num_trans=T,
                 num_multi=int(problem.multi_ec_ids.shape[0]),
                 n_iter=10000, min_rounds=50, batched_eff=True,
-                alpha_init=priors,
+                alpha_init=(
+                    priors.astype(np.float32)
+                    if priors is not None and accel is not None else priors
+                ),
             )
-            est[lo:hi] = np.asarray(alpha)
-            if post is not None:
-                est[lo:hi] += post
+        return np.asarray(alpha).astype(np.float64)
+
+    for lo in range(0, C, chunk):
+        hi = min(lo + chunk, C)
+        sa = np.zeros((hi - lo, T), np.float64)
+        post = None
+        if problem.singleton_tx.size:
+            sa[:, problem.singleton_tx] = counts[lo:hi][:, problem.singleton_ec]
+        if singletons_after:
+            post = sa
+            sa = np.zeros((hi - lo, T), np.float64)
+        mc = counts[lo:hi][:, problem.multi_ec_ids]
+        inv_eff = 1.0 / eff_lens[lo:hi]
+        est[lo:hi] = _em_chunk(sa, mc, inv_eff)[: hi - lo]
+        if post is not None:
+            est[lo:hi] += post
 
     tpm = np.stack([counts_to_tpm(est[c], eff_lens[c]) for c in range(C)])
 

@@ -67,3 +67,28 @@ def test_bootstrap_statistics_vs_reference(bs_result, golden_dir):
     nz = (ref_sd > 1.0) & (mine_sd > 1.0)
     ratio = mine_sd[nz] / ref_sd[nz]
     assert (ratio > 1 / 3).all() and (ratio < 3).all()
+
+
+def test_bootstrap_accelerator_leg(test_index, data_dir, tmp_path,
+                                   monkeypatch):
+    """Forced accelerator bootstraps (float32 vmapped EM) track the CPU
+    float64 leg within float32 tolerance."""
+    import numpy as np
+
+    from kallisto_tpu.quant.bootstrap import run_bootstraps
+    from kallisto_tpu.quant.em import build_em_problem
+
+    rng = np.random.default_rng(3)
+    T = test_index.num_trans
+    ec_sets = [np.array([t], np.int32) for t in range(T)] + [
+        np.sort(rng.choice(T, 3, replace=False)).astype(np.int32)
+        for _ in range(10)
+    ]
+    counts = rng.integers(0, 500, len(ec_sets)).astype(np.int64)
+    problem = build_em_problem(ec_sets, T)
+    eff = np.linspace(100, 2000, T)
+    a64 = run_bootstraps(problem, counts, eff, 5, seed=42)
+    monkeypatch.setenv("KALLISTO_TPU_EM_DEVICE", "tpu")
+    a32 = run_bootstraps(problem, counts, eff, 5, seed=42)
+    assert a32.dtype == np.float64
+    np.testing.assert_allclose(a32, a64, rtol=2e-3, atol=2e-2)

@@ -184,3 +184,35 @@ def test_tcc_matrix_to_files_and_directories(
             assert os.path.exists(
                 os.path.join(out2, f"abundance_{c}", f"bs_abundance_{b}.tsv")
             )
+
+
+def test_tcc_em_accelerator_leg_sharded(test_index, data_dir, tmp_path,
+                                        monkeypatch):
+    """The float32 accelerator EM leg (KALLISTO_TPU_EM_DEVICE=tpu):
+    sharding cells over an 8-device mesh is bit-identical to the
+    single-device float32 run, and both track the CPU float64 parity leg
+    within float32 tolerance (the TPU-native form of the reference's
+    per-cell EM thread pool, main.cpp:3182-3195)."""
+    import numpy as np
+
+    def run(env, threads):
+        if env:
+            monkeypatch.setenv("KALLISTO_TPU_EM_DEVICE", env)
+        else:
+            monkeypatch.delenv("KALLISTO_TPU_EM_DEVICE", raising=False)
+        opt = Options(
+            ec_file=os.path.join(data_dir, "tcc_test.ec"),
+            tcc_file=os.path.join(data_dir, "tcc_test.mtx"),
+            fld_mean=180, fld_sd=20, threads=threads,
+        )
+        return run_quant_tcc(opt, index=test_index)
+
+    f64 = run(None, 1)
+    f32_single = run("tpu", 1)
+    f32_mesh = run("tpu", 8)
+    np.testing.assert_array_equal(
+        f32_mesh.est_counts, f32_single.est_counts
+    )
+    np.testing.assert_allclose(
+        f32_single.est_counts, f64.est_counts, rtol=2e-3, atol=2e-2
+    )
