@@ -100,7 +100,11 @@ def main():
     import numpy as np
 
     from kallisto_tpu.ops.pseudoalign import device_index_from_host
-    from kallisto_tpu.ops.turbo import make_aux, pseudoalign_pair_turbo
+    from kallisto_tpu.ops.turbo import (
+        make_aux,
+        pseudoalign_pair_halffail,
+        pseudoalign_pair_turbo,
+    )
     from kallisto_tpu.quant.pipeline import _W2MAX, _W2MIN
 
     didx = device_index_from_host(load_index(idx_path))
@@ -110,6 +114,11 @@ def main():
     while Bp <= _W2MAX:
         z = np.zeros((Bp, Lp // 4), np.uint8)
         _, _, ck = pseudoalign_pair_turbo(didx, z, z, aux, k=31, L=Lp, rl=rl)
+        np.asarray(ck[:1])
+        _, _, ck = pseudoalign_pair_halffail(
+            didx, z, np.zeros((Bp, 2), np.int32),
+            np.zeros(Bp, np.int32), aux, k=31, L=Lp, rl=rl,
+        )
         np.asarray(ck[:1])
         Bp <<= 1
 

@@ -595,7 +595,7 @@ static bool is_bgzf(const char* path) {
 
 extern "C" {
 
-int ktio_abi_version() { return 5; }
+int ktio_abi_version() { return 6; }
 
 void* ktio_open(const char* path, int batch_reads, int pad_to, int min_len,
                 int keep_names, int n_threads) {
@@ -892,6 +892,7 @@ struct MateEval {
   int nrows;
   int32_t rows[16];
   int32_t blk0, upos0;
+  int32_t blo, bhi;
   uint8_t strand0;
 };
 
@@ -1003,6 +1004,8 @@ static inline bool w1_eval_mate(const W1Ctx& c, const uint8_t* pk,
   }
   if (blo < 0) return false;                 // D-list dummy unitig
   if (bhi - blo > 2 * c.rl + 16) return false;  // sanity cap on span
+  out->blo = blo;
+  out->bhi = bhi;
   // distinct sorted non-empty EC rows over the contiguous block range
   int nr = 0;
   for (int32_t fid = blo; fid <= bhi; fid++) {
@@ -1079,7 +1082,8 @@ void* ktio_wave1(
     const uint8_t* nmask2, int64_t n, int32_t Lp, int32_t rl, int32_t k,
     int32_t R, int32_t n_anchors, const int32_t* anchor_ws,
     int32_t min_range, int32_t tail_mode, int32_t pos_fl, int32_t n_threads,
-    int32_t* fail_idx, int64_t* n_fail_out) {
+    int32_t* fail_idx, uint8_t* fail_side, int32_t* fail_vsum,
+    int64_t* n_fail_out) {
   W1Ctx c{mk,     n_keys, bucket_start, p,  kuid, kpos,      kfw,
           kblock, block_ec, n_blocks,   pf_ptr, pf_base, pf_np,
           Lp,     rl,     k,  R, n_anchors, min_range, tail_mode, pos_fl,
@@ -1099,18 +1103,46 @@ void* ktio_wave1(
   if (n < (1 << 14)) T = 1;
   std::vector<W1Map> maps(T);
   std::vector<std::vector<int32_t>> fails(T);
+  std::vector<std::vector<uint8_t>> fsides(T);
+  std::vector<std::vector<int32_t>> fvsums(T);
   auto work = [&](int t, int64_t lo, int64_t hi) {
     W1Map& map = maps[t];
     map.init(1 << 10);
     std::vector<int32_t>& fail = fails[t];
+    std::vector<uint8_t>& fside = fsides[t];
+    std::vector<int32_t>& fvs = fvsums[t];
     std::vector<int32_t> ex(W);
     for (int64_t i = lo; i < hi; i++) {
       MateEval e1, e2;
       e1.ok = e2.ok = false;
-      if (!w1_eval_mate(c, packed1 + i * rowb, nmask1 + i * nmb, &e1) ||
-          (paired &&
-           !w1_eval_mate(c, packed2 + i * rowb, nmask2 + i * nmb, &e2))) {
+      bool ok1 = w1_eval_mate(c, packed1 + i * rowb, nmask1 + i * nmb, &e1);
+      bool ok2 =
+          !paired ||
+          w1_eval_mate(c, packed2 + i * rowb, nmask2 + i * nmb, &e2);
+      if (!ok1 || !ok2) {
+        // failing pair: classify for the device leg.  side 1/2 = only
+        // that mate failed and the OTHER mate's verified state packs
+        // into an 8-byte summary (the device reconstructs its rows from
+        // block_ec8, so only the failed mate's codes upload); side 3 =
+        // both failed (or the summary doesn't pack) -> both upload.
+        uint8_t side = 3;
+        int32_t v0 = 0, v1 = 0;
+        if (paired && (ok1 != ok2)) {
+          const MateEval* v = ok1 ? &e1 : &e2;
+          int span = v->bhi - v->blo;
+          if ((v->bhi >> 3) <= (v->blo >> 3) + 1 && v->upos0 >= 0 &&
+              v->upos0 < (1 << 26)) {
+            side = ok1 ? 2 : 1;
+            v0 = v->blo;
+            v1 = (v->upos0 << 5) | (span << 1) | (v->strand0 ? 1 : 0);
+          }
+        } else if (!paired) {
+          side = 1;
+        }
         fail.push_back((int32_t)i);
+        fside.push_back(side);
+        fvs.push_back(v0);
+        fvs.push_back(v1);
         continue;
       }
       int o = 0;
@@ -1188,6 +1220,8 @@ void* ktio_wave1(
   int64_t nf = 0;
   for (int t = 0; t < T; t++) {
     memcpy(fail_idx + nf, fails[t].data(), fails[t].size() * 4);
+    memcpy(fail_side + nf, fsides[t].data(), fsides[t].size());
+    memcpy(fail_vsum + 2 * nf, fvsums[t].data(), fvsums[t].size() * 4);
     nf += (int64_t)fails[t].size();
   }
   *n_fail_out = nf;

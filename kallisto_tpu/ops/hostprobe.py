@@ -36,6 +36,10 @@ class HostKeys(NamedTuple):
     """One batch's wave-1 outcome."""
 
     fail_idx: np.ndarray   # [n_fail] int32 ascending read indices -> device
+    fail_side: np.ndarray  # [n_fail] uint8: 1/2 = only that mate failed
+    #                        (other mate's summary packs), 3 = both upload
+    fail_vsum: np.ndarray  # [n_fail, 2] int32 packed verified-mate summary
+    #                        (blo, upos0<<5 | span<<1 | strand); side 1/2 only
     h128: np.ndarray       # [K, 2] int64 key hashes (host namespace)
     occ: np.ndarray        # [K] int64 multiplicity
     first_idx: np.ndarray  # [K] int64 first-occurrence read index
@@ -101,6 +105,8 @@ class HostProbe:
             [(wlast * j) // (na - 1) for j in range(na)], np.int32
         )
         fail_idx = np.empty(n, np.int32)
+        fail_side = np.empty(n, np.uint8)
+        fail_vsum = np.empty((n, 2), np.int32)
         n_fail = ctypes.c_int64()
         h = self._lib.ktio_wave1(
             self._mk.ctypes.data, self._mk.shape[0],
@@ -115,7 +121,8 @@ class HostProbe:
             n, b1.Lp, rl, self.k,
             self.R, na, ws.ctypes.data,
             self.min_range, self.tail_mode, self.pos_fl, self.n_threads,
-            fail_idx.ctypes.data, ctypes.byref(n_fail),
+            fail_idx.ctypes.data, fail_side.ctypes.data,
+            fail_vsum.ctypes.data, ctypes.byref(n_fail),
         )
         try:
             K = self._lib.ktio_wave1_nkeys(h)
@@ -135,8 +142,11 @@ class HostProbe:
         h128 = np.stack(
             [h1.view(np.int64), h2.view(np.int64)], axis=1
         )
+        nf = int(n_fail.value)
         return HostKeys(
-            fail_idx=fail_idx[: int(n_fail.value)].copy(),
+            fail_idx=fail_idx[:nf].copy(),
+            fail_side=fail_side[:nf].copy(),
+            fail_vsum=fail_vsum[:nf].copy(),
             h128=np.ascontiguousarray(h128),
             occ=count, first_idx=first, exemplars=ex,
         )

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .pseudoalign import (
+    INT32_MAX,
     SideResult,
     _ck_flat,
     _codes_from_packed,
@@ -141,6 +142,99 @@ def pseudoalign_pair_turbo_varlen(didx, p1, p2, aux, lens, k: int, L: int,
                                   pos_fl: int = -1, pos_depth: int = 0):
     return pair_turbo_core(didx, p1, p2, aux, lens, k, L, max_rows, max_keys,
                            min_range, strand_key, 0, pos_fl, pos_depth)
+
+
+def _verified_side_from_summary(didx, vsum, R: int, lens_v, k: int):
+    """Reconstruct a host-wave-1-VERIFIED mate's SideResult from its packed
+    8-byte summary (blo; upos0<<5 | span<<1 | strand).
+
+    rows = distinct sorted block ECs over the contiguous block range
+    [blo, blo+span], fetched as two 8-wide block_ec8 rows -- the same
+    derivation (and the same stretch theorem) as the anchor kernel's
+    verified wave (ops/anchor.py _anchor_side); the host only emits a
+    summary when the range fits two rows and rows <= R.  Padding rows
+    (lens_v == 0) stay no-hit."""
+    blo = vsum[:, 0]
+    meta = vsum[:, 1]
+    real = lens_v > 0
+    strand = (meta & 1) == 1
+    span = (meta >> 1) & 15
+    upos0 = meta >> 5
+    bhi = blo + span
+    B2 = blo.shape[0]
+    r0 = jnp.maximum(blo, 0) >> 3
+    cand = jnp.concatenate(
+        [didx.block_ec8[r0], didx.block_ec8[r0 + 1]], axis=1
+    )
+    fid = (r0 * 8)[:, None] + jnp.arange(16, dtype=blo.dtype)[None, :]
+    inr = (fid >= blo[:, None]) & (fid <= bhi[:, None]) & real[:, None]
+    vr = jnp.where(inr & (cand >= 0), cand, INT32_MAX)
+    slots = []
+    prev = jnp.full((B2,), -1, jnp.int32)
+    for _ in range(min(R, 16)):
+        cur = jnp.min(jnp.where(vr > prev[:, None], vr, INT32_MAX), axis=1)
+        slots.append(cur)
+        prev = jnp.where(cur != INT32_MAX, cur, prev)
+    while len(slots) < R:
+        slots.append(jnp.full((B2,), INT32_MAX, jnp.int32))
+    rows = jnp.stack(slots, axis=1)
+    return SideResult(
+        rows=rows,
+        n_rows=jnp.sum(rows != INT32_MAX, axis=1).astype(jnp.int32),
+        has_hits=real,
+        overflow=jnp.zeros(B2, bool),
+        f_uid=jnp.where(real, 0, -1).astype(jnp.int32),
+        f_block=jnp.where(real, jnp.where(strand, blo, bhi), -1).astype(
+            jnp.int32
+        ),
+        f_upos=jnp.where(real, upos0, -1).astype(jnp.int32),
+        f_rpos=jnp.where(real, 0, -1).astype(jnp.int32),
+        f_strand=strand,
+        rng=jnp.where(real, lens_v - k, -1).astype(jnp.int32),
+    )
+
+
+def halffail_core(didx, pkf, vsum, sidev, aux, k: int, L: int,
+                  max_rows: int, max_keys: int,
+                  min_range: int = 0, strand_key: bool = False,
+                  rl: int = 0, pos_fl: int = -1, pos_depth: int = 0):
+    """Wave-2 step for pairs where exactly ONE mate failed wave 1: only
+    the failed mate's packed codes upload; the verified mate rides its
+    8-byte summary.  sidev = 1 when mate1 is the failed one, 2 for mate2.
+    Cuts wave-2 upload bytes ~45% and kernel rows ~50% vs re-evaluating
+    both mates (the link is the end-to-end bottleneck)."""
+    codes, lens_v = _codes_and_lens((pkf,), aux, None, L, rl)
+    rf = _pseudoalign_core(didx, codes, lens_v, k, max_rows)
+    rv = _verified_side_from_summary(didx, vsum, max_rows, lens_v, k)
+    m1 = sidev == 1
+
+    def sel(a, b):
+        m = m1[:, None] if a.ndim == 2 else m1
+        return jnp.where(m, a, b)
+
+    r1 = SideResult(*(sel(fa, va) for fa, va in zip(rf, rv)))
+    r2 = SideResult(*(sel(va, fa) for fa, va in zip(rf, rv)))
+    pc = (
+        pos_col_pair(didx, r1, r2, pos_fl, pos_depth) if pos_fl >= 0 else None
+    )
+    ck = compact_pair_keys(
+        r1, r2, max_keys, k=k, min_range=min_range, strand_key=strand_key,
+        pos_col=pc,
+    )
+    return r1, r2, _ck_flat(ck)
+
+
+@partial(jax.jit, static_argnames=(
+    "k", "L", "max_rows", "max_keys", "min_range", "strand_key", "rl",
+    "pos_fl", "pos_depth"))
+def pseudoalign_pair_halffail(didx, pkf, vsum, sidev, aux, k: int, L: int,
+                              max_rows: int = 16, max_keys: int = 32768,
+                              min_range: int = 0, strand_key: bool = False,
+                              rl: int = 0, pos_fl: int = -1,
+                              pos_depth: int = 0):
+    return halffail_core(didx, pkf, vsum, sidev, aux, k, L, max_rows,
+                         max_keys, min_range, strand_key, rl, pos_fl,
+                         pos_depth)
 
 
 def single_turbo_core(didx, p1, aux, lens, k: int, L: int,

@@ -329,19 +329,17 @@ _W2MIN = 1 << 14
 _W2MAX = 1 << 18
 
 
-def _subset_exceptions(batches, sub: np.ndarray, Bp: int) -> Optional[np.ndarray]:
-    """In-read N positions of the selected rows, as flat indices into the
-    padded concatenated [len(batches)*Bp, Lp] code matrix (turbo layout).
-    None = over EXC_CAP; caller falls back."""
+def _rows_exceptions(sides, Bp: int, Lp: int) -> Optional[np.ndarray]:
+    """In-read N positions of pre-selected (nmask_rows, lens) sides, as
+    flat indices into the padded concatenated [len(sides)*Bp, Lp] code
+    matrix (turbo layout).  None = over EXC_CAP; caller falls back."""
     from ..ops.turbo import EXC_CAP
 
-    Lp = batches[0].Lp
     pats = _padding_nmask_patterns(Lp)
     parts = []
     total = 0
-    for s, b in enumerate(batches):
-        nm = b.nmask[sub].reshape(sub.shape[0], -1)
-        lens = b.lens[sub]
+    for s, (nm, lens) in enumerate(sides):
+        nm = nm.reshape(lens.shape[0], -1)
         if not np.array_equal(nm, pats[lens]):
             bits = np.unpackbits(nm, axis=1, bitorder="little")[:, :Lp]
             bits[np.arange(Lp)[None, :] >= lens[:, None]] = 0
@@ -353,6 +351,12 @@ def _subset_exceptions(batches, sub: np.ndarray, Bp: int) -> Optional[np.ndarray
     if not parts:
         return np.empty(0, np.int64)
     return np.concatenate(parts)
+
+
+def _subset_exceptions(batches, sub: np.ndarray, Bp: int) -> Optional[np.ndarray]:
+    return _rows_exceptions(
+        [(b.nmask[sub], b.lens[sub]) for b in batches], Bp, batches[0].Lp
+    )
 
 
 def _slice_packed(b: PackedBatch, lo: int, hi: int) -> PackedBatch:
@@ -783,7 +787,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 t0 = time.time()
                 hk = hostprobe.probe_pair(b1, b2, rl_u)
                 t0 = _tlog("probe", t0)
-                devs = _dispatch_wave2_pair(hk.fail_idx, b1, b2, rl_u)
+                devs = _dispatch_wave2_pair(hk, b1, b2, rl_u)
                 _tlog(f"w2dispatch nf={len(hk.fail_idx)}", t0)
                 if devs is not None:
                     return ("hw1", b1, b2, hk, devs)
@@ -850,17 +854,47 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         hx = bias_hexamers(bt, r1, r2.has_hits, k=k) if want_bias else None
         return ("full", b1, b2, r1, r2, h, tl, hx)
 
-    def _dispatch_wave2_pair(fail_idx, b1, b2, rl):
-        """Upload ONLY the anchor-failing pairs, dense-packed, for the
-        branchless full evaluation; returns a list of per-slice device
-        contexts or None when the slice can't ride the turbo upload
-        (N-flood past EXC_CAP -> caller uses the pure-device path)."""
+    def _dispatch_wave2_pair(hk, b1, b2, rl):
+        """Upload ONLY what wave 2 needs: pairs with exactly one failed
+        mate send that mate's packed codes + an 8-byte verified-mate
+        summary (halffail kernel); both-failed pairs send both mates
+        (turbo kernel).  Returns per-slice device contexts or None when a
+        slice can't ride the turbo upload (N-flood past EXC_CAP -> caller
+        uses the pure-device path)."""
+        from ..ops.turbo import pseudoalign_pair_halffail
+
         devs = []
-        nf = fail_idx.shape[0]
+        half = np.flatnonzero(hk.fail_side != 3)
+        both = np.flatnonzero(hk.fail_side == 3)
         lo = 0
-        while lo < nf:
-            take = min(nf - lo, _W2MAX)
-            sub = fail_idx[lo : lo + take]
+        while lo < half.shape[0]:
+            take = min(half.shape[0] - lo, _W2MAX)
+            pos = half[lo : lo + take]
+            sub = hk.fail_idx[pos]
+            side = hk.fail_side[pos]
+            Bp = _bucket_size(take, lo=_W2MIN)
+            m1 = (side == 1)[:, None]
+            pkf = np.where(m1, b1.packed[sub], b2.packed[sub])
+            nmf = np.where(m1, b1.nmask[sub], b2.nmask[sub])
+            exc = _rows_exceptions([(nmf, b1.lens[sub])], Bp, b1.Lp)
+            if exc is None:
+                return None
+            aux = make_aux(take, rl, exc)
+            if aux is None:
+                return None
+            r1, r2, ckflat = pseudoalign_pair_halffail(
+                didx, _pad_rows(pkf, Bp),
+                _pad_rows(hk.fail_vsum[pos], Bp),
+                _pad_rows(side.astype(np.int32), Bp), aux, k=k, L=b1.Lp,
+                min_range=mr_key, strand_key=sk, rl=rl,
+                pos_fl=pf_fl, pos_depth=pf_depth,
+            )
+            devs.append((r1, r2, ckflat, sub))
+            lo += take
+        lo = 0
+        while lo < both.shape[0]:
+            take = min(both.shape[0] - lo, _W2MAX)
+            sub = hk.fail_idx[both[lo : lo + take]]
             Bp = _bucket_size(take, lo=_W2MIN)
             exc = _subset_exceptions((b1, b2), sub, Bp)
             if exc is None:

@@ -170,3 +170,74 @@ def test_quant_hw1_parity_end_to_end(tmp_path, data_dir, mode, monkeypatch):
         np.testing.assert_array_equal(sa, sb)
     np.testing.assert_array_equal(a.est_counts, b.est_counts)
     assert a.num_pseudoaligned == b.num_pseudoaligned
+
+
+def test_halffail_kernel_matches_turbo(test_index):
+    """pseudoalign_pair_halffail (failed mate packed + verified-mate
+    summary) produces the same per-read side results and key histogram as
+    the exhaustive both-mate turbo evaluation."""
+    from kallisto_tpu.ops.hostprobe import HostProbe
+    from kallisto_tpu.ops.turbo import (
+        make_aux,
+        pseudoalign_pair_halffail,
+        pseudoalign_pair_turbo,
+    )
+    from test_anchor import _norm_ck
+
+    k, rlen, B = 31, 50, 2048
+    Lp = 56
+    # heavy errors -> plenty of half-fail pairs
+    c1 = _sim_reads(test_index, B, rlen, seed=31, err=0.02)
+    c2 = _sim_reads(test_index, B, rlen, seed=32, err=0.02)
+    b1, b2 = _batch(c1, Lp), _batch(c2, Lp)
+    hp = HostProbe(test_index)
+    hk = hp.probe_pair(b1, b2, rlen)
+    half = np.flatnonzero(hk.fail_side != 3)
+    assert half.size > 50  # the fixture exercises the path
+    sub = hk.fail_idx[half]
+    side = hk.fail_side[half]
+    n = sub.shape[0]
+
+    m1 = (side == 1)[:, None]
+    pkf = np.where(m1, b1.packed[sub], b2.packed[sub])
+    nmf = np.where(m1, b1.nmask[sub], b2.nmask[sub])
+    Lpx = Lp
+    bits = np.unpackbits(nmf, axis=1, bitorder="little")[:, :Lpx]
+    bits[:, rlen:] = 0
+    r, c = np.nonzero(bits)
+    exc = r.astype(np.int64) * Lpx + c
+    aux = make_aux(n, rlen, exc)
+    h1, h2, ckh = pseudoalign_pair_halffail(
+        didx := __import__(
+            "kallisto_tpu.ops.pseudoalign", fromlist=["device_index_from_host"]
+        ).device_index_from_host(test_index),
+        pkf, hk.fail_vsum[half], side.astype(np.int32), aux, k=k, L=Lp,
+        rl=rlen,
+    )
+
+    # exhaustive truth on the same pairs
+    bits1 = np.unpackbits(b1.nmask[sub], axis=1, bitorder="little")[:, :Lpx]
+    bits1[:, rlen:] = 0
+    bits2 = np.unpackbits(b2.nmask[sub], axis=1, bitorder="little")[:, :Lpx]
+    bits2[:, rlen:] = 0
+    r1n, c1n = np.nonzero(bits1)
+    r2n, c2n = np.nonzero(bits2)
+    exc2 = np.concatenate([
+        r1n.astype(np.int64) * Lpx + c1n,
+        (n + r2n.astype(np.int64)) * Lpx + c2n,
+    ])
+    aux2 = make_aux(n, rlen, exc2)
+    t1, t2, ckt = pseudoalign_pair_turbo(
+        didx, b1.packed[sub], b2.packed[sub], aux2, k=k, L=Lp, rl=rlen,
+    )
+    for f in ("rows", "n_rows", "has_hits", "f_block", "f_upos", "f_rpos",
+              "f_strand", "rng"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(h1, f)), np.asarray(getattr(t1, f)),
+            err_msg=f"r1.{f}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(getattr(h2, f)), np.asarray(getattr(t2, f)),
+            err_msg=f"r2.{f}",
+        )
+    assert _norm_ck(ckh) == _norm_ck(ckt)
