@@ -79,6 +79,7 @@ def _cmd_index(args):
         dlist_overhang=overhang,
         aa=args.aa,
         distinguish=args.distinguish,
+        threads=args.threads,
     )
     save_index(index, args.index)
     print(
@@ -306,7 +307,9 @@ def main(argv=None):
     p.add_argument("-k", "--kmer-size", type=int, default=31)
     p.add_argument("--make-unique", action="store_true")
     p.add_argument("--aa", action="store_true")
-    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-t", "--threads", type=int, default=1,
+                   help="threads for the native build kernels (scans, "
+                        "hashed lookups); default 1 like the reference")
     p.add_argument("-T", "--tmp", default="tmp")
     p.add_argument("-m", "--min-size", type=int, default=-1)
     p.add_argument("--distinguish", action="store_true")

@@ -916,9 +916,31 @@ def build_index(
     dlist_overhang: int = 1,
     aa: bool = False,
     distinguish: bool = False,
+    threads: int = 0,
 ) -> TpuIndex:
+    """threads > 0 pins the native build kernels (rolling scans, hashed
+    lookups, revcomps) to that many threads, honoring `index -t`
+    (reference: KmerIndex.cpp:574-679 threads its Bifrost/MPHF/D-list
+    stages); 0 = auto."""
     if k % 2 == 0 or k < 3 or k > 31:
         raise ValueError("k must be odd and in [3, 31]")
+    from .. import native as _native
+
+    _prev_threads = _native.DEFAULT_THREADS
+    _native.DEFAULT_THREADS = threads
+    try:
+        return _build_index_impl(
+            fasta_paths, k, make_unique, max_ec_size, dlist_paths,
+            dlist_overhang, aa, distinguish,
+        )
+    finally:
+        _native.DEFAULT_THREADS = _prev_threads
+
+
+def _build_index_impl(
+    fasta_paths, k, make_unique, max_ec_size, dlist_paths,
+    dlist_overhang, aa, distinguish,
+) -> TpuIndex:
 
     seq_color = seq_shade = None
     if distinguish:

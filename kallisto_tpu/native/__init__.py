@@ -234,20 +234,31 @@ class NativeFastqReader:
             pass
 
 
+# 0 = auto (min(8, cpu_count)); build_index(threads=N) pins this for the
+# build's native kernels, honoring the CLI's `index -t`
+# (reference threads the Bifrost/MPHF/D-list build, KmerIndex.cpp:574-679)
+DEFAULT_THREADS = 0
+
+
+def _resolve_threads(n: int) -> int:
+    if n > 0:
+        return n
+    if DEFAULT_THREADS > 0:
+        return DEFAULT_THREADS
+    return min(8, os.cpu_count() or 1)
+
+
 def u64_lookup(keys_mixed_sorted, bucket_start, p: int, queries,
                n_threads: int = 0):
     """Multithreaded hashed membership over a sorted mixed-u64 table.
 
     Returns (idx into the sorted table with n for misses, hit bool array).
     """
-    import os as _os
-
     lib = load()
     m = queries.shape[0]
     out_idx = np.empty(m, np.int64)
     out_hit = np.empty(m, np.uint8)
-    if n_threads <= 0:
-        n_threads = min(8, _os.cpu_count() or 1)
+    n_threads = _resolve_threads(n_threads)
     lib.ktio_u64_lookup(
         keys_mixed_sorted.ctypes.data, keys_mixed_sorted.shape[0],
         bucket_start.ctypes.data, p,
@@ -259,8 +270,6 @@ def u64_lookup(keys_mixed_sorted, bucket_start, p: int, queries,
 
 def kmer_scan(codes, k: int, n_threads: int = 0):
     """Rolling canonical k-mers (canon, is_fw, valid) over a code vector."""
-    import os as _os
-
     lib = load()
     n = codes.shape[0]
     W = n - k + 1
@@ -269,8 +278,7 @@ def kmer_scan(codes, k: int, n_threads: int = 0):
     canon = np.empty(W, np.uint64)
     is_fw = np.empty(W, np.uint8)
     valid = np.empty(W, np.uint8)
-    if n_threads <= 0:
-        n_threads = min(8, _os.cpu_count() or 1)
+    n_threads = _resolve_threads(n_threads)
     lib.ktio_kmer_scan(
         np.ascontiguousarray(codes).ctypes.data, n, k,
         canon.ctypes.data, is_fw.ctypes.data, valid.ctypes.data, n_threads,
@@ -279,12 +287,9 @@ def kmer_scan(codes, k: int, n_threads: int = 0):
 
 
 def revcomp64(kmers, k: int, n_threads: int = 0):
-    import os as _os
-
     lib = load()
     out = np.empty(kmers.shape[0], np.uint64)
-    if n_threads <= 0:
-        n_threads = min(8, _os.cpu_count() or 1)
+    n_threads = _resolve_threads(n_threads)
     lib.ktio_revcomp(
         np.ascontiguousarray(kmers).ctypes.data, kmers.shape[0], k,
         out.ctypes.data, n_threads,
