@@ -133,7 +133,10 @@ def encode_record(
     aux: bytes,
 ) -> bytes:
     nlen = len(qname)
-    extranul = 3 - (nlen % 4)
+    # no extranul padding: the reference's fillBamRecord writes
+    # l_read_name = strlen(name)+1 (ProcessReads.cpp:3021-3100), and BAM
+    # byte-parity with its output requires matching that exactly
+    extranul = 0
     l_read_name = nlen + extranul + 1
     l_seq = seq_codes.shape[0]
     body = bytearray()
