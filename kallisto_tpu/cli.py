@@ -371,9 +371,9 @@ def main(argv=None):
     p.add_argument("--rf-stranded", action="store_true")
     p.add_argument("--unstranded", action="store_true")
     p.add_argument("-t", "--threads", type=int, default=1,
-                   help="accepted for surface parity: bus batches are "
-                        "processed device-wide, so one process saturates "
-                        "the chip (reference: per-thread BUSProcessors)")
+                   help="spread read chunks over up to N devices (the "
+                        "TPU-native form of the reference's per-thread "
+                        "BUSProcessors); outputs are bit-identical to -t 1")
     p.add_argument("--single", action="store_true", dest="single_end")
     p.add_argument("--paired", action="store_true", dest="bus_paired")
     p.add_argument("--long", action="store_true")

@@ -61,6 +61,7 @@ from ..quant.pipeline import (
     _make_pair_fetcher,
     _make_single_fetcher,
     _pad_rows,
+    _resolve_n_devices,
     _turbo_exceptions,
     _uniform_len,
     _w2_observe,
@@ -777,6 +778,18 @@ class _BusRun:
         self.index = index
         self.k = index.k
         self.didx = device_index_from_host(index)
+        # mesh DP: `bus -t N` spreads read chunks over up to N devices
+        # (the TPU-native form of the reference's BUSProcessor threads,
+        # src/ProcessReads.cpp:335-369).  Chunks shard contiguously over
+        # the reads axis; per-read results gather back in read order, so
+        # outputs are bit-identical to the single-device run.  The aa /
+        # long-read specialty kernels stay single-device.
+        self.mesh = None
+        if _resolve_n_devices(opt) > 1 and not opt.aa and not cfg.long_read:
+            from ..parallel.mesh import MeshRunner
+
+            self.mesh = MeshRunner(_resolve_n_devices(opt))
+            self.didx = self.mesh.replicate(self.didx)
         self._w2caps = _W2Caps()  # pinned per-run wave-2 capacities
         self.resolver = EcResolver(index, dfk_onlist=opt.dfk_onlist)
         self.aa_resolver = (
@@ -1115,9 +1128,18 @@ class _BusRun:
             so2 = start_override([bus.seq[1]])
             seq2 = _extract_seq(sub, [bus.seq[1]], so2)
             b2p = _read_batch_to_packed(seq2, self.k)
-            fast = self._anchor_pair(b1p, b2p)
+            fast = self._anchor_pair(b1p, b2p) if self.mesh is None else None
             if fast is not None:
                 r1, r2 = fast
+            elif self.mesh is not None:
+                from ..ops.pseudoalign import pseudoalign_batch_packed
+
+                r1 = pseudoalign_batch_packed(
+                    self.didx, *self.mesh.put_batch(b1p), k=self.k, L=b1p.Lp
+                )
+                r2 = pseudoalign_batch_packed(
+                    self.didx, *self.mesh.put_batch(b2p), k=self.k, L=b2p.Lp
+                )
             else:
                 r1 = _dispatch_side(self.didx, b1p, self.k)
                 r2 = _dispatch_side(self.didx, b2p, self.k)
@@ -1135,9 +1157,15 @@ class _BusRun:
             )
             tl = np.asarray(pair_fragment_lengths(r1, r2, k=self.k))[:n]
         else:
-            fast = self._anchor_single(b1p)
+            fast = self._anchor_single(b1p) if self.mesh is None else None
             if fast is not None:
                 r1 = fast
+            elif self.mesh is not None:
+                from ..ops.pseudoalign import pseudoalign_batch_packed
+
+                r1 = pseudoalign_batch_packed(
+                    self.didx, *self.mesh.put_batch(b1p), k=self.k, L=b1p.Lp
+                )
             else:
                 r1 = _dispatch_side(self.didx, b1p, self.k)
             n = b1p.n

@@ -80,3 +80,54 @@ def test_bus_transcripts(bus_out, golden_dir):
         open(os.path.join(out, "transcripts.txt")).read()
         == open(os.path.join(golden_dir, "bus10xv2", "transcripts.txt")).read()
     )
+
+
+def test_bus_mesh_sharded_bit_parity(test_index, data_dir, tmp_path):
+    """bus -t 8 (read chunks sharded over an 8-device mesh) produces
+    byte-identical output.bus / matrix.ec to the single-device run --
+    the TPU-native form of the reference's per-thread BUSProcessors
+    (src/ProcessReads.cpp:335-369)."""
+    outs = {}
+    for t in (1, 8):
+        out = str(tmp_path / f"bus_t{t}")
+        opt = Options(
+            files=[
+                os.path.join(data_dir, "sc_reads_1.fastq.gz"),
+                os.path.join(data_dir, "sc_reads_2.fastq.gz"),
+            ],
+            technology="10xv2",
+            output_dir=out,
+            threads=t,
+        )
+        run_bus(opt, index=test_index)
+        outs[t] = out
+    for fn in ("output.bus", "matrix.ec", "transcripts.txt"):
+        a = open(os.path.join(outs[1], fn), "rb").read()
+        b = open(os.path.join(outs[8], fn), "rb").read()
+        assert a == b, fn
+
+
+def test_bus_mesh_paired_bit_parity(test_index, data_dir, tmp_path):
+    """bus --paired under the mesh: flens and BUS output bit-identical."""
+    outs = {}
+    for t in (1, 8):
+        out = str(tmp_path / f"busp_t{t}")
+        opt = Options(
+            files=[
+                os.path.join(data_dir, "bulkb0_1.fastq.gz"),
+                os.path.join(data_dir, "bulkb0_2.fastq.gz"),
+            ],
+            technology="bulk",
+            bus_paired=True,
+            output_dir=out,
+            threads=t,
+        )
+        run_bus(opt, index=test_index)
+        outs[t] = out
+    for fn in ("output.bus", "matrix.ec", "flens.txt"):
+        p1 = os.path.join(outs[1], fn)
+        if not os.path.exists(p1):
+            continue
+        a = open(p1, "rb").read()
+        b = open(os.path.join(outs[8], fn), "rb").read()
+        assert a == b, fn
