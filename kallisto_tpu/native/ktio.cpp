@@ -595,7 +595,7 @@ static bool is_bgzf(const char* path) {
 
 extern "C" {
 
-int ktio_abi_version() { return 6; }
+int ktio_abi_version() { return 7; }
 
 void* ktio_open(const char* path, int batch_reads, int pad_to, int min_len,
                 int keep_names, int n_threads) {
@@ -1083,7 +1083,10 @@ void* ktio_wave1(
     int32_t R, int32_t n_anchors, const int32_t* anchor_ws,
     int32_t min_range, int32_t tail_mode, int32_t pos_fl, int32_t n_threads,
     int32_t* fail_idx, uint8_t* fail_side, int32_t* fail_vsum,
-    int64_t* n_fail_out) {
+    int64_t* n_fail_out,
+    // pseudobam fast path (may be null): per-read key hash h1 (0 for
+    // failing reads) + per-mate first-hit info (f_block, upos0<<1|strand)
+    uint64_t* out_rh1, int32_t* out_vinfo) {
   W1Ctx c{mk,     n_keys, bucket_start, p,  kuid, kpos,      kfw,
           kblock, block_ec, n_blocks,   pf_ptr, pf_base, pf_np,
           Lp,     rl,     k,  R, n_anchors, min_range, tail_mode, pos_fl,
@@ -1175,6 +1178,15 @@ void* ktio_wave1(
       uint64_t h1, h2;
       w1_hash(ex.data(), W, rank, rank_in_key, &h1, &h2);
       map.add(h1, h2, i, ex.data(), W);
+      if (out_rh1) {
+        out_rh1[i] = h1;
+        out_vinfo[4 * i] = e1.strand0 ? e1.blo : e1.bhi;
+        out_vinfo[4 * i + 1] = (e1.upos0 << 1) | e1.strand0;
+        if (paired) {
+          out_vinfo[4 * i + 2] = e2.strand0 ? e2.blo : e2.bhi;
+          out_vinfo[4 * i + 3] = (e2.upos0 << 1) | e2.strand0;
+        }
+      }
     }
   };
   if (T == 1) {

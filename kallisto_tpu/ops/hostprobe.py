@@ -44,6 +44,10 @@ class HostKeys(NamedTuple):
     occ: np.ndarray        # [K] int64 multiplicity
     first_idx: np.ndarray  # [K] int64 first-occurrence read index
     exemplars: np.ndarray  # [K, W] int32 key content (resolver layout)
+    # pseudobam fast path (None unless perread=True): per-read key hash
+    # h1 (0 for failing reads) + per-mate (f_block, upos0<<1|strand)
+    read_h1: Optional[np.ndarray] = None   # [n] uint64
+    vinfo: Optional[np.ndarray] = None     # [n, 4] int32
 
 
 class HostProbe:
@@ -97,7 +101,7 @@ class HostProbe:
     def _ptr(self, a: Optional[np.ndarray]):
         return a.ctypes.data if a is not None else None
 
-    def _probe(self, b1, b2, rl: int) -> HostKeys:
+    def _probe(self, b1, b2, rl: int, perread: bool = False) -> HostKeys:
         n = b1.lens.shape[0]
         wlast = rl - self.k
         na = n_anchors_for(rl, self.k)
@@ -107,6 +111,8 @@ class HostProbe:
         fail_idx = np.empty(n, np.int32)
         fail_side = np.empty(n, np.uint8)
         fail_vsum = np.empty((n, 2), np.int32)
+        read_h1 = np.zeros(n, np.uint64) if perread else None
+        vinfo = np.zeros((n, 4), np.int32) if perread else None
         n_fail = ctypes.c_int64()
         h = self._lib.ktio_wave1(
             self._mk.ctypes.data, self._mk.shape[0],
@@ -123,6 +129,8 @@ class HostProbe:
             self.min_range, self.tail_mode, self.pos_fl, self.n_threads,
             fail_idx.ctypes.data, fail_side.ctypes.data,
             fail_vsum.ctypes.data, ctypes.byref(n_fail),
+            read_h1.ctypes.data if perread else None,
+            vinfo.ctypes.data if perread else None,
         )
         try:
             K = self._lib.ktio_wave1_nkeys(h)
@@ -149,12 +157,13 @@ class HostProbe:
             fail_vsum=fail_vsum[:nf].copy(),
             h128=np.ascontiguousarray(h128),
             occ=count, first_idx=first, exemplars=ex,
+            read_h1=read_h1, vinfo=vinfo,
         )
 
-    def probe_pair(self, b1, b2, rl: int) -> HostKeys:
+    def probe_pair(self, b1, b2, rl: int, perread: bool = False) -> HostKeys:
         """Wave-1 both mates of a uniform-length pair batch."""
         assert b1.Lp == b2.Lp
-        return self._probe(b1, b2, rl)
+        return self._probe(b1, b2, rl, perread)
 
-    def probe_single(self, b1, rl: int) -> HostKeys:
-        return self._probe(b1, None, rl)
+    def probe_single(self, b1, rl: int, perread: bool = False) -> HostKeys:
+        return self._probe(b1, None, rl, perread)

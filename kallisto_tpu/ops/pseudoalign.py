@@ -672,16 +672,18 @@ def pos_col_pair(didx, s1: SideResult, s2: SideResult, fl: int, depth: int):
     return jnp.where(applies, jnp.where(s1.has_hits, r1, r2), -1)
 
 
-@partial(jax.jit, static_argnames=("max_keys", "k", "min_range", "strand_key"))
+@partial(jax.jit, static_argnames=(
+    "max_keys", "k", "min_range", "strand_key", "with_slots"))
 def compact_pair_keys(
     s1: SideResult, s2: SideResult, max_keys: int = 16384,
     k: int = 0, min_range: int = 0, strand_key: bool = False,
-    pos_col=None,
-) -> CompactKeys:
+    pos_col=None, with_slots: bool = False,
+):
     """Per-batch key histogram.  With min_range/strand_key/pos_col the key
     is extended by the filter inputs (veto bits; first-hit block+strand;
     position-filter rank), so per-read filters become per-key operations
-    on the compact path."""
+    on the compact path.  with_slots additionally returns each read's key
+    slot (pseudobam fast path)."""
     cols = (
         [s1.rows[:, i] for i in range(s1.rows.shape[1])]
         + [s2.rows[:, i] for i in range(s2.rows.shape[1])]
@@ -691,7 +693,10 @@ def compact_pair_keys(
         + ([pos_col] if pos_col is not None else [])
     )
     h = _hash_columns_128(cols)
-    return _compact_keys(h, cols[2 * s1.rows.shape[1]], max_keys)
+    ck = _compact_keys(h, cols[2 * s1.rows.shape[1]], max_keys)
+    if with_slots:
+        return ck, _compact_read_slots(h, max_keys)
+    return ck
 
 
 @partial(jax.jit, static_argnames=("max_keys", "k", "min_range", "strand_key"))
@@ -749,6 +754,21 @@ def _compact_keys(h: jnp.ndarray, flags: jnp.ndarray, K: int) -> CompactKeys:
         first_idx=first_idx,
         flags=fl,
         n_uniq=n_uniq,
+    )
+
+
+def _compact_read_slots(h: jnp.ndarray, K: int) -> jnp.ndarray:
+    """Per-read key slot (the segment id _compact_keys assigns), so the
+    host can map each read to its key's resolved EC at 4 bytes/read d2h
+    (the pseudobam fast path needs per-READ ECs, not just the histogram).
+    """
+    B = h.shape[0]
+    idx = jnp.arange(B, dtype=jnp.int32)
+    h0, order = jax.lax.sort((h[:, 0], idx), num_keys=1)
+    isnew = jnp.concatenate([jnp.ones(1, bool), h0[1:] != h0[:-1]])
+    segc = jnp.minimum(jnp.cumsum(isnew.astype(jnp.int32)) - 1, K - 1)
+    return (
+        jnp.zeros(B, jnp.int32).at[order].set(segc)
     )
 
 

@@ -104,7 +104,8 @@ def _codes_and_lens(packed_sides, aux, lens, L: int, rl: int = 0):
 def pair_turbo_core(didx, p1, p2, aux, lens, k: int, L: int,
                     max_rows: int, max_keys: int,
                     min_range: int = 0, strand_key: bool = False,
-                    rl: int = 0, pos_fl: int = -1, pos_depth: int = 0):
+                    rl: int = 0, pos_fl: int = -1, pos_depth: int = 0,
+                    with_slots: bool = False):
     """Shared traced body (usable per-shard under shard_map)."""
     B = p1.shape[0]
     codes, lens_v = _codes_and_lens((p1, p2), aux, lens, L, rl)
@@ -114,22 +115,27 @@ def pair_turbo_core(didx, p1, p2, aux, lens, k: int, L: int,
     pc = (
         pos_col_pair(didx, r1, r2, pos_fl, pos_depth) if pos_fl >= 0 else None
     )
-    ck = compact_pair_keys(
+    out = compact_pair_keys(
         r1, r2, max_keys, k=k, min_range=min_range, strand_key=strand_key,
-        pos_col=pc,
+        pos_col=pc, with_slots=with_slots,
     )
-    return r1, r2, _ck_flat(ck)
+    if with_slots:
+        ck, slots = out
+        return r1, r2, _ck_flat(ck), slots
+    return r1, r2, _ck_flat(out)
 
 
 @partial(jax.jit, static_argnames=(
     "k", "L", "max_rows", "max_keys", "min_range", "strand_key", "rl",
-    "pos_fl", "pos_depth"))
+    "pos_fl", "pos_depth", "with_slots"))
 def pseudoalign_pair_turbo(didx, p1, p2, aux, k: int, L: int,
                            max_rows: int = 16, max_keys: int = 32768,
                            min_range: int = 0, strand_key: bool = False,
-                           rl: int = 0, pos_fl: int = -1, pos_depth: int = 0):
+                           rl: int = 0, pos_fl: int = -1, pos_depth: int = 0,
+                           with_slots: bool = False):
     return pair_turbo_core(didx, p1, p2, aux, None, k, L, max_rows, max_keys,
-                           min_range, strand_key, rl, pos_fl, pos_depth)
+                           min_range, strand_key, rl, pos_fl, pos_depth,
+                           with_slots)
 
 
 @partial(jax.jit, static_argnames=(
@@ -197,7 +203,8 @@ def _verified_side_from_summary(didx, vsum, R: int, lens_v, k: int):
 def halffail_core(didx, pkf, vsum, sidev, aux, k: int, L: int,
                   max_rows: int, max_keys: int,
                   min_range: int = 0, strand_key: bool = False,
-                  rl: int = 0, pos_fl: int = -1, pos_depth: int = 0):
+                  rl: int = 0, pos_fl: int = -1, pos_depth: int = 0,
+                  with_slots: bool = False):
     """Wave-2 step for pairs where exactly ONE mate failed wave 1: only
     the failed mate's packed codes upload; the verified mate rides its
     8-byte summary.  sidev = 1 when mate1 is the failed one, 2 for mate2.
@@ -217,24 +224,27 @@ def halffail_core(didx, pkf, vsum, sidev, aux, k: int, L: int,
     pc = (
         pos_col_pair(didx, r1, r2, pos_fl, pos_depth) if pos_fl >= 0 else None
     )
-    ck = compact_pair_keys(
+    out = compact_pair_keys(
         r1, r2, max_keys, k=k, min_range=min_range, strand_key=strand_key,
-        pos_col=pc,
+        pos_col=pc, with_slots=with_slots,
     )
-    return r1, r2, _ck_flat(ck)
+    if with_slots:
+        ck, slots = out
+        return r1, r2, _ck_flat(ck), slots
+    return r1, r2, _ck_flat(out)
 
 
 @partial(jax.jit, static_argnames=(
     "k", "L", "max_rows", "max_keys", "min_range", "strand_key", "rl",
-    "pos_fl", "pos_depth"))
+    "pos_fl", "pos_depth", "with_slots"))
 def pseudoalign_pair_halffail(didx, pkf, vsum, sidev, aux, k: int, L: int,
                               max_rows: int = 16, max_keys: int = 32768,
                               min_range: int = 0, strand_key: bool = False,
                               rl: int = 0, pos_fl: int = -1,
-                              pos_depth: int = 0):
+                              pos_depth: int = 0, with_slots: bool = False):
     return halffail_core(didx, pkf, vsum, sidev, aux, k, L, max_rows,
                          max_keys, min_range, strand_key, rl, pos_fl,
-                         pos_depth)
+                         pos_depth, with_slots)
 
 
 def single_turbo_core(didx, p1, aux, lens, k: int, L: int,

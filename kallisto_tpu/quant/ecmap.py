@@ -441,7 +441,8 @@ class EcResolver:
         R: int,
         paired: bool,
         do_union: bool = False,
-    ) -> None:
+        return_key_ecs: bool = False,
+    ):
         """Count a batch from MULTIPLE key histograms sharing one read-index
         space (host wave-1 keys + device wave-2 keys; see ops/hostprobe.py).
 
@@ -453,9 +454,11 @@ class EcResolver:
         parts' key hashes live in disjoint namespaces (host vs device hash
         constants), so cross-part collisions cannot merge keys.
         """
+        sizes = [p[0].shape[0] for p in parts]
         parts = [p for p in parts if p[0].shape[0]]
         if not parts:
-            return
+            return [np.empty(0, np.int64)] * len(sizes) if return_key_ecs \
+                else None
         hs = np.concatenate([np.ascontiguousarray(p[0]) for p in parts])
         occ = np.concatenate([np.asarray(p[1], np.int64) for p in parts])
         first = np.concatenate([np.asarray(p[2], np.int64) for p in parts])
@@ -489,6 +492,18 @@ class EcResolver:
         m = vals >= 0
         self.counts.add_at(vals[m], occ_o[m])
         self.num_mapped += int(occ_o[m].sum())
+        if return_key_ecs:
+            # per-key EC ids back in concatenated-part order, split to the
+            # CALLER's part list (empty parts get empty vectors) -- the
+            # pseudobam fast path maps each read's key slot to its EC
+            out = np.empty(vals.shape[0], np.int64)
+            out[order] = vals
+            res = []
+            off = 0
+            for n in sizes:
+                res.append(out[off : off + n])
+                off += n
+            return res
 
     def count_batch(
         self,

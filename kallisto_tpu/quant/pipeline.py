@@ -773,6 +773,19 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         """
         want_bias = opt.bias and bias_total < _BIAS_GOAL
         if (not want_fld and not want_bias
+                and pbam is not None and mesh is None and b1.Lp == b2.Lp):
+            # pseudobam fast path: host wave-1 with per-read key hashes +
+            # first-hit info; wave-2 kernels also emit per-read key slots,
+            # so per-read ECs/positions reach the recorder without the
+            # full per-read transfer mode (reference does this inline at
+            # full speed, ProcessReads.h:174-339)
+            rl_u = _uniform_len(b1, b2)
+            if hostprobe is not None and rl_u is not None and rl_u >= k:
+                hk = hostprobe.probe_pair(b1, b2, rl_u, perread=True)
+                devs = _dispatch_wave2_pair(hk, b1, b2, rl_u, with_slots=True)
+                if devs is not None:
+                    return ("hw1pb", b1, b2, hk, devs)
+        if (not want_fld and not want_bias
                 and pbam is None and b1.Lp == b2.Lp):
             if mesh is not None:
                 r1, r2, ckstack, shard_B = mesh.pair_compact(
@@ -854,7 +867,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         hx = bias_hexamers(bt, r1, r2.has_hits, k=k) if want_bias else None
         return ("full", b1, b2, r1, r2, h, tl, hx)
 
-    def _dispatch_wave2_pair(hk, b1, b2, rl):
+    def _dispatch_wave2_pair(hk, b1, b2, rl, with_slots=False):
         """Upload ONLY what wave 2 needs: pairs with exactly one failed
         mate send that mate's packed codes + an 8-byte verified-mate
         summary (halffail kernel); both-failed pairs send both mates
@@ -882,14 +895,14 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             aux = make_aux(take, rl, exc)
             if aux is None:
                 return None
-            r1, r2, ckflat = pseudoalign_pair_halffail(
+            out = pseudoalign_pair_halffail(
                 didx, _pad_rows(pkf, Bp),
                 _pad_rows(hk.fail_vsum[pos], Bp),
                 _pad_rows(side.astype(np.int32), Bp), aux, k=k, L=b1.Lp,
                 min_range=mr_key, strand_key=sk, rl=rl,
-                pos_fl=pf_fl, pos_depth=pf_depth,
+                pos_fl=pf_fl, pos_depth=pf_depth, with_slots=with_slots,
             )
-            devs.append((r1, r2, ckflat, sub))
+            devs.append(out[:3] + (sub,) + out[3:])
             lo += take
         lo = 0
         while lo < both.shape[0]:
@@ -902,29 +915,35 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             aux = make_aux(take, rl, exc)
             if aux is None:
                 return None
-            r1, r2, ckflat = pseudoalign_pair_turbo(
+            out = pseudoalign_pair_turbo(
                 didx, _pad_rows(b1.packed[sub], Bp),
                 _pad_rows(b2.packed[sub], Bp), aux, k=k, L=b1.Lp,
                 min_range=mr_key, strand_key=sk, rl=rl,
-                pos_fl=pf_fl, pos_depth=pf_depth,
+                pos_fl=pf_fl, pos_depth=pf_depth, with_slots=with_slots,
             )
-            devs.append((r1, r2, ckflat, sub))
+            devs.append(out[:3] + (sub,) + out[3:])
             lo += take
         return devs
 
     def _hw1_device_parts(devs, paired):
         """Fetch + validate each wave-2 slice's key histogram; returns
-        (parts, ok).  first_idx is remapped to GLOBAL read indices via the
+        (parts, valids, ok) -- valids give each slice's occupied key slots
+        for per-read slot mapping (pseudobam fast path).  first_idx is remapped to GLOBAL read indices via the
         slice's fail-index list; keys first seen on a padding row (possible
         only for the no-hit key) sort last and resolve to None."""
         parts = []
+        valids = []
         for dev in devs:
-            sub = dev[-1]
-            arr = _fetch_ck(dev[-2])
+            if paired:
+                r1, r2, ckflat, sub = dev[0], dev[1], dev[2], dev[3]
+            else:
+                r1, ckflat, sub = dev[0], dev[1], dev[2]
+            arr = _fetch_ck(ckflat)
             uniq_h, occ, first_local, flags, n_uniq = unflatten_ck_host(arr)
             valid = np.flatnonzero(occ > 0)
             if n_uniq > occ.shape[0] or (flags[valid] & 12).any():
-                return None, False
+                return None, None, False
+            valids.append((valid, occ.shape[0]))
             fl = first_local[valid].astype(np.int64)
             gf = np.where(
                 fl < sub.shape[0],
@@ -932,11 +951,9 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 np.int64(1) << 60,
             )
             if paired:
-                r1, r2 = dev[0], dev[1]
                 s1, s2 = _SideArrays(r1), _SideArrays(r2)
                 fetch = _make_pair_fetcher(r1, r2, s1, s2, k, mr_key, sk, pk)
             else:
-                r1 = dev[0]
                 fetch = _make_single_fetcher(
                     r1, _SideArrays(r1), k, mr_key, sk, pk
                 )
@@ -944,7 +961,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 np.ascontiguousarray(uniq_h[valid]), occ[valid], gf,
                 lambda sel, fetch=fetch, fl=fl: fetch(fl[sel]),
             ))
-        return parts, True
+        return parts, valids, True
 
     def process_pair(ctx):
         nonlocal num_processed, tlencount, bias_total
@@ -952,10 +969,81 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             for sub in ctx[2]:
                 process_pair(sub)
             return
+        if ctx[0] == "hw1pb":
+            _, b1, b2, hk, devs = ctx
+            parts, valids, ok = _hw1_device_parts(devs, paired=True)
+            if ok:
+                if hk.h128.shape[0]:
+                    ex = hk.exemplars
+                    parts.insert(0, (
+                        hk.h128, hk.occ, hk.first_idx,
+                        lambda sel, ex=ex: ex[sel],
+                    ))
+                key_ecs = resolver.process_compact_parts(
+                    parts, R=hostprobe.R, paired=True,
+                    do_union=opt.do_union, return_key_ecs=True,
+                )
+                B = b1.n
+                read_ec = np.full(B, -1, np.int64)
+                f1 = {k_: np.zeros(B, np.int32) for k_ in
+                      ("f_block", "f_upos", "f_rpos")}
+                f2 = {k_: np.zeros(B, np.int32) for k_ in
+                      ("f_block", "f_upos", "f_rpos")}
+                f1["f_strand"] = np.zeros(B, bool)
+                f2["f_strand"] = np.zeros(B, bool)
+                f1["has_hits"] = np.zeros(B, bool)
+                f2["has_hits"] = np.zeros(B, bool)
+                di = 0
+                if hk.h128.shape[0]:
+                    # host-verified reads: EC via h1 lookup, fields from
+                    # the probe's per-read info (zero link bytes)
+                    kh = hk.h128[:, 0]
+                    ko = np.argsort(kh)
+                    vmask = hk.read_h1 != 0
+                    rh = hk.read_h1[vmask].view(np.int64)
+                    ppos = ko[np.searchsorted(kh[ko], rh)]
+                    read_ec[vmask] = key_ecs[0][ppos]
+                    vi = hk.vinfo[vmask]
+                    idxs = np.flatnonzero(vmask)
+                    for f, c0, c1 in ((f1, 0, 1), (f2, 2, 3)):
+                        f["f_block"][idxs] = vi[:, c0]
+                        f["f_upos"][idxs] = vi[:, c1] >> 1
+                        f["f_strand"][idxs] = (vi[:, c1] & 1) == 1
+                        f["has_hits"][idxs] = True
+                    di = 1
+                for dev, (valid, K), kec in zip(devs, valids, key_ecs[di:]):
+                    r1, r2, _, sub, slots = dev
+                    n_s = sub.shape[0]
+                    inv = np.full(K, -1, np.int64)
+                    inv[valid] = np.arange(valid.shape[0])
+                    sl = np.asarray(slots)[:n_s]
+                    read_ec[sub] = kec[inv[sl]]
+                    for f, r in ((f1, r1), (f2, r2)):
+                        sa = _SideArrays(r, n_s)
+                        for k_ in ("f_block", "f_upos", "f_rpos"):
+                            f[k_][sub] = getattr(sa, k_)
+                        f["f_strand"][sub] = sa.f_strand
+                        f["has_hits"][sub] = sa.has_hits
+                pbam.add_compact(read_ec, f1, f2)
+                num_processed += b1.n
+                hw1_stats[0] += 2 * b1.n - 2 * len(hk.fail_idx)
+                hw1_stats[1] += 2 * b1.n
+                return
+            for lo in range(0, b1.n, _FALLBACK_CAP):
+                hi = min(lo + _FALLBACK_CAP, b1.n)
+                sb1 = _slice_packed(b1, lo, hi)
+                sb2 = _slice_packed(b2, lo, hi)
+                sr1 = _dispatch_side(didx, sb1, k)
+                sr2 = _dispatch_side(didx, sb2, k)
+                process_pair(
+                    ("full", sb1, sb2, sr1, sr2,
+                     pair_key_hash(sr1, sr2), None, None)
+                )
+            return
         if ctx[0] == "hw1":
             _, b1, b2, hk, devs = ctx
             t0 = time.time()
-            parts, ok = _hw1_device_parts(devs, paired=True)
+            parts, _valids, ok = _hw1_device_parts(devs, paired=True)
             t0 = _tlog("w2fetch", t0)
             if ok:
                 if hk.h128.shape[0]:
@@ -1241,7 +1329,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             return
         if ctx[0] == "hw1s":
             _, b1, hk, devs = ctx
-            parts, ok = _hw1_device_parts(devs, paired=False)
+            parts, _valids, ok = _hw1_device_parts(devs, paired=False)
             if ok:
                 if hk.h128.shape[0]:
                     ex = hk.exemplars

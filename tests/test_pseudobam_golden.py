@@ -127,3 +127,30 @@ def test_pseudobam_forward_records_byte_exact(data_dir, golden_dir, tmp_path):
             eq += 1
     assert fw >= 700         # the subset genuinely covers the output
     assert eq == fw          # every forward record's self fields match
+
+
+def test_pseudobam_fast_path_parity(data_dir, tmp_path, monkeypatch):
+    """--pseudobam now rides the host-wave-1 compact path (per-read key
+    slots + probe-side first-hit info instead of full per-read transfer
+    mode); the BAM must be byte-identical to the probe-off full path."""
+    from kallisto_tpu.common import Options
+    from kallisto_tpu.index import build_index
+    from kallisto_tpu.quant.pipeline import run_quant
+
+    index = build_index(
+        [os.path.join(data_dir, "transcripts.fasta.gz")], k=31
+    )
+    bams = {}
+    for hw in ("0", "1"):
+        monkeypatch.setenv("KALLISTO_TPU_HOST_WAVE1", hw)
+        out = str(tmp_path / f"pb{hw}")
+        run_quant(Options(
+            files=[os.path.join(data_dir, "reads_1.fastq.gz"),
+                   os.path.join(data_dir, "reads_2.fastq.gz")],
+            output_dir=out, plaintext=True, pseudobam=True,
+            fld_mean=180.0, fld_sd=20.0,
+        ), index=index)
+        bams[hw] = bgzf_decompress(
+            os.path.join(out, "pseudoalignments.bam")
+        )
+    assert bams["0"] == bams["1"]
