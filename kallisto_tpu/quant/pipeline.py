@@ -273,15 +273,19 @@ def _w2_observe(B2: int, n_fail: int, rows: int) -> None:
 
 
 def _fetch_ck(ckflat) -> np.ndarray:
-    """Fetch a key histogram: small prefix first, full table only when the
-    batch had more distinct keys than the prefix holds.  d2h on tunneled
-    TPUs costs ~23 ms latency + ~25 MB/s; occupied slots are always the
-    leading rows, so the 80 KB prefix covers the common case and the
-    1.3 MB full table moves only on deep batches."""
+    """Fetch a key histogram: small prefix first, then exactly the
+    OCCUPIED rows when the batch had more distinct keys than the prefix
+    holds.  d2h on tunneled TPUs costs ~23 ms latency + ~10-25 MB/s;
+    occupied slots are always the leading rows, so link bytes scale with
+    the real key count, never the table capacity."""
     pre = np.asarray(ckflat[:_CK_PREFIX])
-    if int(pre[0, 0]) <= _CK_PREFIX - 1:
+    n_uniq = int(pre[0, 0])
+    if n_uniq <= _CK_PREFIX - 1:
         return pre
-    return np.asarray(ckflat)
+    K = int(ckflat.shape[0]) - 1
+    if n_uniq >= K:  # overflowed table: caller falls back anyway
+        return np.asarray(ckflat)
+    return np.asarray(ckflat[: n_uniq + 1])
 
 
 def _fetch_ck_stack(ckstack) -> np.ndarray:
@@ -327,6 +331,11 @@ def _turbo_exceptions(batches, Bp: int) -> Optional[np.ndarray]:
 # above _W2MAX split into multiple dispatches
 _W2MIN = 1 << 14
 _W2MAX = 1 << 18
+# wave-2 key-histogram capacity: human-scale EC diversity produces far
+# more than 32k distinct keys per slice (the overflow fallback re-ran
+# whole batches through the per-read path); _fetch_ck transfers only the
+# occupied prefix, so a big table costs device memory, not link bytes
+_W2KEYS = 1 << 17
 
 
 def _rows_exceptions(sides, Bp: int, Lp: int) -> Optional[np.ndarray]:
@@ -899,7 +908,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 didx, _pad_rows(pkf, Bp),
                 _pad_rows(hk.fail_vsum[pos], Bp),
                 _pad_rows(side.astype(np.int32), Bp), aux, k=k, L=b1.Lp,
-                min_range=mr_key, strand_key=sk, rl=rl,
+                max_keys=_W2KEYS, min_range=mr_key, strand_key=sk, rl=rl,
                 pos_fl=pf_fl, pos_depth=pf_depth, with_slots=with_slots,
             )
             devs.append(out[:3] + (sub,) + out[3:])
@@ -918,7 +927,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             out = pseudoalign_pair_turbo(
                 didx, _pad_rows(b1.packed[sub], Bp),
                 _pad_rows(b2.packed[sub], Bp), aux, k=k, L=b1.Lp,
-                min_range=mr_key, strand_key=sk, rl=rl,
+                max_keys=_W2KEYS, min_range=mr_key, strand_key=sk, rl=rl,
                 pos_fl=pf_fl, pos_depth=pf_depth, with_slots=with_slots,
             )
             devs.append(out[:3] + (sub,) + out[3:])
@@ -1314,7 +1323,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 return None
             r1, ckflat = pseudoalign_single_turbo(
                 didx, _pad_rows(b1.packed[sub], Bp), aux, k=k, L=b1.Lp,
-                min_range=mr_key, strand_key=sk, rl=rl,
+                max_keys=_W2KEYS, min_range=mr_key, strand_key=sk, rl=rl,
                 pos_fl=pf_fl, pos_depth=pf_depth,
             )
             devs.append((r1, ckflat, sub))
