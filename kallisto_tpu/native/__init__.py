@@ -16,7 +16,7 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "ktio.cpp")
 _LIB = os.path.join(_HERE, "libktio.so")
-_ABI = 7
+_ABI = 8
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -127,6 +127,7 @@ def load() -> ctypes.CDLL:
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
         ]
         lib.ktio_wave1_nkeys.restype = ctypes.c_int64
         lib.ktio_wave1_nkeys.argtypes = [ctypes.c_void_p]

@@ -595,7 +595,7 @@ static bool is_bgzf(const char* path) {
 
 extern "C" {
 
-int ktio_abi_version() { return 7; }
+int ktio_abi_version() { return 8; }
 
 void* ktio_open(const char* path, int batch_reads, int pad_to, int min_len,
                 int keep_names, int n_threads) {
@@ -891,7 +891,7 @@ struct MateEval {
   bool ok;
   int nrows;
   int32_t rows[16];
-  int32_t blk0, upos0;
+  int32_t uid0, blk0, upos0;
   int32_t blo, bhi;
   uint8_t strand0;
 };
@@ -991,6 +991,7 @@ static inline bool w1_eval_mate(const W1Ctx& c, const uint8_t* pk,
       pos0 = pos;
       strand0 = strand;
       blo = bhi = blk;
+      out->uid0 = uid;
       out->upos0 = pos;
       out->blk0 = blk;
       out->strand0 = strand;
@@ -1084,9 +1085,13 @@ void* ktio_wave1(
     int32_t min_range, int32_t tail_mode, int32_t pos_fl, int32_t n_threads,
     int32_t* fail_idx, uint8_t* fail_side, int32_t* fail_vsum,
     int64_t* n_fail_out,
-    // pseudobam fast path (may be null): per-read key hash h1 (0 for
-    // failing reads) + per-mate first-hit info (f_block, upos0<<1|strand)
-    uint64_t* out_rh1, int32_t* out_vinfo) {
+    // per-read fast-path extras (may be null): key hash h1 (0 for
+    // failing reads), per-mate first-hit info (f_block, upos0<<1|strand),
+    // and the mapPair fragment length (-1 when not inferable) for the
+    // FLD-estimation fast path (reference: KmerIndex::mapPair,
+    // src/KmerIndex.cpp:1622-1693 -- same unitig, same mosaic block,
+    // opposite strands; first hits are at read position 0 here)
+    uint64_t* out_rh1, int32_t* out_vinfo, int32_t* out_tl) {
   W1Ctx c{mk,     n_keys, bucket_start, p,  kuid, kpos,      kfw,
           kblock, block_ec, n_blocks,   pf_ptr, pf_base, pf_np,
           Lp,     rl,     k,  R, n_anchors, min_range, tail_mode, pos_fl,
@@ -1186,6 +1191,16 @@ void* ktio_wave1(
           out_vinfo[4 * i + 2] = e2.strand0 ? e2.blo : e2.bhi;
           out_vinfo[4 * i + 3] = (e2.upos0 << 1) | e2.strand0;
         }
+      }
+      if (out_tl) {
+        int32_t tl = -1;
+        if (paired && e1.uid0 == e2.uid0 && e1.blk0 == e2.blk0 &&
+            e1.strand0 != e2.strand0) {
+          int32_t p1 = e1.strand0 ? e1.upos0 : e1.upos0 + k;
+          int32_t p2 = e2.strand0 ? e2.upos0 : e2.upos0 + k;
+          tl = p1 > p2 ? p1 - p2 : p2 - p1;
+        }
+        out_tl[i] = tl;
       }
     }
   };

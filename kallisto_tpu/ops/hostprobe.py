@@ -48,6 +48,8 @@ class HostKeys(NamedTuple):
     # h1 (0 for failing reads) + per-mate (f_block, upos0<<1|strand)
     read_h1: Optional[np.ndarray] = None   # [n] uint64
     vinfo: Optional[np.ndarray] = None     # [n, 4] int32
+    read_tl: Optional[np.ndarray] = None   # [n] int32 mapPair fragment
+    #                        length (-1 = not inferable / failing pair)
 
 
 class HostProbe:
@@ -113,6 +115,7 @@ class HostProbe:
         fail_vsum = np.empty((n, 2), np.int32)
         read_h1 = np.zeros(n, np.uint64) if perread else None
         vinfo = np.zeros((n, 4), np.int32) if perread else None
+        read_tl = np.full(n, -1, np.int32) if perread else None
         n_fail = ctypes.c_int64()
         h = self._lib.ktio_wave1(
             self._mk.ctypes.data, self._mk.shape[0],
@@ -131,6 +134,7 @@ class HostProbe:
             fail_vsum.ctypes.data, ctypes.byref(n_fail),
             read_h1.ctypes.data if perread else None,
             vinfo.ctypes.data if perread else None,
+            read_tl.ctypes.data if perread else None,
         )
         try:
             K = self._lib.ktio_wave1_nkeys(h)
@@ -157,7 +161,7 @@ class HostProbe:
             fail_vsum=fail_vsum[:nf].copy(),
             h128=np.ascontiguousarray(h128),
             occ=count, first_idx=first, exemplars=ex,
-            read_h1=read_h1, vinfo=vinfo,
+            read_h1=read_h1, vinfo=vinfo, read_tl=read_tl,
         )
 
     def probe_pair(self, b1, b2, rl: int, perread: bool = False) -> HostKeys:

@@ -1197,13 +1197,17 @@ def pair_fragment_lengths(s1: SideResult, s2: SideResult, k: int) -> jnp.ndarray
     first matched k-mers must lie on the same unitig, in the same mosaic EC
     block, on opposite strands; the length is |p1 - p2| where p is the
     projected read start/end on the unitig.
+
+    Block ids are GLOBAL (unitig-major), so equal f_block already implies
+    the same unitig -- no separate uid check (which also lets the halffail
+    kernel's reconstructed verified sides, whose f_uid is a placeholder,
+    produce correct fragment lengths).
     """
     p1 = jnp.where(s1.f_strand, s1.f_upos - s1.f_rpos, s1.f_upos + k + s1.f_rpos)
     p2 = jnp.where(s2.f_strand, s2.f_upos - s2.f_rpos, s2.f_upos + k + s2.f_rpos)
     ok = (
         s1.has_hits
         & s2.has_hits
-        & (s1.f_uid == s2.f_uid)
         & (s1.f_block == s2.f_block)
         & (s1.f_strand != s2.f_strand)
     )

@@ -231,6 +231,26 @@ _W2_HINTS: dict = {}
 _CK_PREFIX = 2049  # meta row + 2048 key slots
 
 
+class _EcCards:
+    """Incrementally-extended per-EC set-cardinality vector (the FLD
+    fast path needs read_card per batch without rescanning ec_sets)."""
+
+    def __init__(self, resolver):
+        self._r = resolver
+        self._a = np.empty(0, np.int32)
+
+    def get(self) -> np.ndarray:
+        n = len(self._r.ec_sets)
+        if self._a.shape[0] < n:
+            extra = np.fromiter(
+                (self._r.ec_sets[i].shape[0]
+                 for i in range(self._a.shape[0], n)),
+                np.int32, count=n - self._a.shape[0],
+            )
+            self._a = np.concatenate([self._a, extra])
+        return self._a
+
+
 def _w2_cap(B2: int) -> int:
     rate = _W2_HINTS.get(B2)
     if rate is None:
@@ -762,6 +782,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             _log(f"[quant] host wave-1 probing unavailable ({e})")
             hostprobe = None
     hw1_stats = [0, 0]  # verified reads, total steady-state reads
+    ec_cards = _EcCards(resolver)
     # KALLISTO_TPU_TIMING=1: per-batch phase timing on stderr (probe /
     # wave-2 dispatch / histogram fetch / resolve) for perf triage
     _timing = os.environ.get("KALLISTO_TPU_TIMING", "") == "1"
@@ -781,19 +802,23 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         device compacts its shard locally (parallel/mesh.py).
         """
         want_bias = opt.bias and bias_total < _BIAS_GOAL
-        if (not want_fld and not want_bias
-                and pbam is not None and mesh is None and b1.Lp == b2.Lp):
-            # pseudobam fast path: host wave-1 with per-read key hashes +
-            # first-hit info; wave-2 kernels also emit per-read key slots,
-            # so per-read ECs/positions reach the recorder without the
-            # full per-read transfer mode (reference does this inline at
-            # full speed, ProcessReads.h:174-339)
+        if (not want_bias and mesh is None and b1.Lp == b2.Lp
+                and (pbam is not None or want_fld)):
+            # per-read fast path: host wave-1 with per-read key hashes,
+            # first-hit info and mapPair fragment lengths; wave-2 kernels
+            # also emit per-read key slots.  Serves --pseudobam (per-read
+            # ECs/positions reach the recorder, reference does this inline
+            # at full speed, ProcessReads.h:174-339) AND the FLD-learning
+            # phase (at 100k-target scale unique-EC pairs are rare, so the
+            # 10k subsample takes millions of pairs -- staying in full
+            # per-read transfer mode for all of them was the human-scale
+            # bottleneck)
             rl_u = _uniform_len(b1, b2)
             if hostprobe is not None and rl_u is not None and rl_u >= k:
                 hk = hostprobe.probe_pair(b1, b2, rl_u, perread=True)
                 devs = _dispatch_wave2_pair(hk, b1, b2, rl_u, with_slots=True)
                 if devs is not None:
-                    return ("hw1pb", b1, b2, hk, devs)
+                    return ("hw1pb", b1, b2, hk, devs, want_fld)
         if (not want_fld and not want_bias
                 and pbam is None and b1.Lp == b2.Lp):
             if mesh is not None:
@@ -979,7 +1004,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 process_pair(sub)
             return
         if ctx[0] == "hw1pb":
-            _, b1, b2, hk, devs = ctx
+            _, b1, b2, hk, devs, want_fld_f = ctx
             parts, valids, ok = _hw1_device_parts(devs, paired=True)
             if ok:
                 if hk.h128.shape[0]:
@@ -1033,7 +1058,28 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                             f[k_][sub] = getattr(sa, k_)
                         f["f_strand"][sub] = sa.f_strand
                         f["has_hits"][sub] = sa.has_hits
-                pbam.add_compact(read_ec, f1, f2)
+                if pbam is not None:
+                    pbam.add_compact(read_ec, f1, f2)
+                if want_fld_f and tlencount < flen_goal:
+                    # identical subsample to the full per-read mode: host
+                    # tl for verified pairs, device mapPair for wave-2
+                    tl = hk.read_tl.copy()
+                    for dev in devs:
+                        r1, r2, _, sub = dev[0], dev[1], dev[2], dev[3]
+                        tl[sub] = np.asarray(
+                            pair_fragment_lengths(r1, r2, k=k)
+                        )[: sub.shape[0]]
+                    cards = ec_cards.get()
+                    read_card = np.where(
+                        read_ec >= 0, cards[np.maximum(read_ec, 0)], 0
+                    )
+                    okfl = (
+                        (tl > 0) & (tl < MAX_FRAG_LEN) & (read_card == 1)
+                        & f1["has_hits"] & f2["has_hits"]
+                    )
+                    take = np.flatnonzero(okfl)[: flen_goal - tlencount]
+                    fl_samples.append(tl[take].astype(np.int64))
+                    tlencount += take.shape[0]
                 num_processed += b1.n
                 hw1_stats[0] += 2 * b1.n - 2 * len(hk.fail_idx)
                 hw1_stats[1] += 2 * b1.n
