@@ -107,17 +107,23 @@ def main():
     )
     from kallisto_tpu.quant.pipeline import _W2MAX, _W2MIN
 
+    from kallisto_tpu.quant.pipeline import _W2KEYS
+
     didx = device_index_from_host(load_index(idx_path))
     rl, Lp = 50, 56
     aux = make_aux(1, rl, np.empty(0, np.int64))
     Bp = _W2MIN
     while Bp <= _W2MAX:
         z = np.zeros((Bp, Lp // 4), np.uint8)
-        _, _, ck = pseudoalign_pair_turbo(didx, z, z, aux, k=31, L=Lp, rl=rl)
+        _, _, ck, _ = pseudoalign_pair_turbo(
+            didx, z, z, aux, k=31, L=Lp, rl=rl, max_keys=_W2KEYS,
+            with_slots=True,
+        )
         np.asarray(ck[:1])
-        _, _, ck = pseudoalign_pair_halffail(
+        _, _, ck, _ = pseudoalign_pair_halffail(
             didx, z, np.zeros((Bp, 2), np.int32),
             np.zeros(Bp, np.int32), aux, k=31, L=Lp, rl=rl,
+            max_keys=_W2KEYS, with_slots=True,
         )
         np.asarray(ck[:1])
         Bp <<= 1

@@ -816,7 +816,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             rl_u = _uniform_len(b1, b2)
             if hostprobe is not None and rl_u is not None and rl_u >= k:
                 hk = hostprobe.probe_pair(b1, b2, rl_u, perread=True)
-                devs = _dispatch_wave2_pair(hk, b1, b2, rl_u, with_slots=True)
+                devs = _dispatch_wave2_pair(hk, b1, b2, rl_u)
                 if devs is not None:
                     return ("hw1pb", b1, b2, hk, devs, want_fld)
         if (not want_fld and not want_bias
@@ -901,7 +901,11 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
         hx = bias_hexamers(bt, r1, r2.has_hits, k=k) if want_bias else None
         return ("full", b1, b2, r1, r2, h, tl, hx)
 
-    def _dispatch_wave2_pair(hk, b1, b2, rl, with_slots=False):
+    def _dispatch_wave2_pair(hk, b1, b2, rl):
+        # with_slots is always on: the per-read slot output costs one
+        # extra device sort and is only ever TRANSFERRED when pbam/FLD
+        # need it, while a second slot-less variant family would double
+        # the one-time compile count
         """Upload ONLY what wave 2 needs: pairs with exactly one failed
         mate send that mate's packed codes + an 8-byte verified-mate
         summary (halffail kernel); both-failed pairs send both mates
@@ -934,7 +938,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 _pad_rows(hk.fail_vsum[pos], Bp),
                 _pad_rows(side.astype(np.int32), Bp), aux, k=k, L=b1.Lp,
                 max_keys=_W2KEYS, min_range=mr_key, strand_key=sk, rl=rl,
-                pos_fl=pf_fl, pos_depth=pf_depth, with_slots=with_slots,
+                pos_fl=pf_fl, pos_depth=pf_depth, with_slots=True,
             )
             devs.append(out[:3] + (sub,) + out[3:])
             lo += take
@@ -953,7 +957,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 didx, _pad_rows(b1.packed[sub], Bp),
                 _pad_rows(b2.packed[sub], Bp), aux, k=k, L=b1.Lp,
                 max_keys=_W2KEYS, min_range=mr_key, strand_key=sk, rl=rl,
-                pos_fl=pf_fl, pos_depth=pf_depth, with_slots=with_slots,
+                pos_fl=pf_fl, pos_depth=pf_depth, with_slots=True,
             )
             devs.append(out[:3] + (sub,) + out[3:])
             lo += take
