@@ -212,7 +212,11 @@ def halffail_core(didx, pkf, vsum, sidev, aux, k: int, L: int,
     both mates (the link is the end-to-end bottleneck)."""
     codes, lens_v = _codes_and_lens((pkf,), aux, None, L, rl)
     rf = _pseudoalign_core(didx, codes, lens_v, k, max_rows)
-    rv = _verified_side_from_summary(didx, vsum, max_rows, lens_v, k)
+    # the core clamps the row budget to the window count; the verified
+    # side must use the SAME effective width
+    rv = _verified_side_from_summary(
+        didx, vsum, int(rf.rows.shape[1]), lens_v, k
+    )
     m1 = sidev == 1
 
     def sel(a, b):

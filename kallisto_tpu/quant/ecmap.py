@@ -438,7 +438,6 @@ class EcResolver:
     def process_compact_parts(
         self,
         parts,
-        R: int,
         paired: bool,
         do_union: bool = False,
         return_key_ecs: bool = False,
@@ -447,12 +446,14 @@ class EcResolver:
         space (host wave-1 keys + device wave-2 keys; see ops/hostprobe.py).
 
         parts: list of (uniq_h [K,2] int64, occ, first_idx -- GLOBAL read
-        indices -- , exemplar_of) where exemplar_of(sel) -> [len(sel), W]
+        indices -- , exemplar_of, R) where exemplar_of(sel) -> [len(sel), W]
         int32 returns key content for positions `sel` into that part's own
-        arrays.  Keys are processed in global first-occurrence order, so EC
-        numbering matches the single-stream per-read path exactly; the
-        parts' key hashes live in disjoint namespaces (host vs device hash
-        constants), so cross-part collisions cannot merge keys.
+        arrays and R is that part's per-mate row width (host wave-1 keys
+        use R=16, device wave-2 keys may use a wider row budget).  Keys are
+        processed in global first-occurrence order, so EC numbering matches
+        the single-stream per-read path exactly; the parts' key hashes live
+        in disjoint namespaces (host vs device hash constants), so
+        cross-part collisions cannot merge keys.
         """
         sizes = [p[0].shape[0] for p in parts]
         parts = [p for p in parts if p[0].shape[0]]
@@ -475,15 +476,19 @@ class EcResolver:
         if new_pos.size:
             sel = order[new_pos]
             fetched: Dict[int, np.ndarray] = {}
+            r_of: Dict[int, int] = {}
             for i, p in enumerate(parts):
                 m = np.flatnonzero(pid[sel] == i)
                 if m.size:
                     ex = p[3](loc[sel[m]])
                     for j, row in zip(m, ex):
                         fetched[int(j)] = row
+                        r_of[int(j)] = p[4]
             newvals = np.empty(new_pos.shape[0], np.int64)
             for j in range(new_pos.shape[0]):
-                u = self._resolve_key(fetched[j], R, paired, do_union)
+                u = self._resolve_key(
+                    fetched[j], r_of[j], paired, do_union
+                )
                 newvals[j] = self.ec_id_for(u) if u is not None else -1
             self._ec_cache.insert(h[new_pos], newvals)
             vals = vals.copy()

@@ -356,6 +356,10 @@ _W2MAX = 1 << 18
 # whole batches through the per-read path); _fetch_ck transfers only the
 # occupied prefix, so a big table costs device memory, not link bytes
 _W2KEYS = 1 << 17
+# wave-2 per-read row budget: human-scale reads can touch more than 16
+# distinct EC rows; an overflowing read used to demote its whole batch to
+# the per-read path (the third human-scale bottleneck)
+_W2ROWS = 32
 
 
 def _rows_exceptions(sides, Bp: int, Lp: int) -> Optional[np.ndarray]:
@@ -937,6 +941,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 didx, _pad_rows(pkf, Bp),
                 _pad_rows(hk.fail_vsum[pos], Bp),
                 _pad_rows(side.astype(np.int32), Bp), aux, k=k, L=b1.Lp,
+                max_rows=_W2ROWS,
                 max_keys=_W2KEYS, min_range=mr_key, strand_key=sk, rl=rl,
                 pos_fl=pf_fl, pos_depth=pf_depth, with_slots=True,
             )
@@ -956,6 +961,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             out = pseudoalign_pair_turbo(
                 didx, _pad_rows(b1.packed[sub], Bp),
                 _pad_rows(b2.packed[sub], Bp), aux, k=k, L=b1.Lp,
+                max_rows=_W2ROWS,
                 max_keys=_W2KEYS, min_range=mr_key, strand_key=sk, rl=rl,
                 pos_fl=pf_fl, pos_depth=pf_depth, with_slots=True,
             )
@@ -998,6 +1004,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             parts.append((
                 np.ascontiguousarray(uniq_h[valid]), occ[valid], gf,
                 lambda sel, fetch=fetch, fl=fl: fetch(fl[sel]),
+                int(r1.rows.shape[1]),
             ))
         return parts, valids, True
 
@@ -1015,10 +1022,10 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                     ex = hk.exemplars
                     parts.insert(0, (
                         hk.h128, hk.occ, hk.first_idx,
-                        lambda sel, ex=ex: ex[sel],
+                        lambda sel, ex=ex: ex[sel], hostprobe.R,
                     ))
                 key_ecs = resolver.process_compact_parts(
-                    parts, R=hostprobe.R, paired=True,
+                    parts, paired=True,
                     do_union=opt.do_union, return_key_ecs=True,
                 )
                 B = b1.n
@@ -1109,10 +1116,10 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                     ex = hk.exemplars
                     parts.insert(0, (
                         hk.h128, hk.occ, hk.first_idx,
-                        lambda sel, ex=ex: ex[sel],
+                        lambda sel, ex=ex: ex[sel], hostprobe.R,
                     ))
                 resolver.process_compact_parts(
-                    parts, R=hostprobe.R, paired=True, do_union=opt.do_union
+                    parts, paired=True, do_union=opt.do_union
                 )
                 _tlog("resolve", t0)
                 num_processed += b1.n
@@ -1373,6 +1380,7 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 return None
             r1, ckflat = pseudoalign_single_turbo(
                 didx, _pad_rows(b1.packed[sub], Bp), aux, k=k, L=b1.Lp,
+                max_rows=_W2ROWS,
                 max_keys=_W2KEYS, min_range=mr_key, strand_key=sk, rl=rl,
                 pos_fl=pf_fl, pos_depth=pf_depth,
             )
@@ -1394,10 +1402,10 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                     ex = hk.exemplars
                     parts.insert(0, (
                         hk.h128, hk.occ, hk.first_idx,
-                        lambda sel, ex=ex: ex[sel],
+                        lambda sel, ex=ex: ex[sel], hostprobe.R,
                     ))
                 resolver.process_compact_parts(
-                    parts, R=hostprobe.R, paired=False, do_union=opt.do_union
+                    parts, paired=False, do_union=opt.do_union
                 )
                 num_processed += b1.n
                 hw1_stats[0] += b1.n - len(hk.fail_idx)
