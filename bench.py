@@ -105,9 +105,7 @@ def main():
         pseudoalign_pair_halffail,
         pseudoalign_pair_turbo,
     )
-    from kallisto_tpu.quant.pipeline import _W2MAX, _W2MIN
-
-    from kallisto_tpu.quant.pipeline import _W2KEYS
+    from kallisto_tpu.quant.pipeline import _W2MAX, _W2MIN, _W2ROWS, _w2keys
 
     didx = device_index_from_host(load_index(idx_path))
     rl, Lp = 50, 56
@@ -116,14 +114,14 @@ def main():
     while Bp <= _W2MAX:
         z = np.zeros((Bp, Lp // 4), np.uint8)
         _, _, ck, _ = pseudoalign_pair_turbo(
-            didx, z, z, aux, k=31, L=Lp, rl=rl, max_keys=_W2KEYS,
-            with_slots=True,
+            didx, z, z, aux, k=31, L=Lp, rl=rl, max_rows=_W2ROWS,
+            max_keys=_w2keys(Bp), with_slots=True,
         )
         np.asarray(ck[:1])
         _, _, ck, _ = pseudoalign_pair_halffail(
             didx, z, np.zeros((Bp, 2), np.int32),
             np.zeros(Bp, np.int32), aux, k=31, L=Lp, rl=rl,
-            max_keys=_W2KEYS, with_slots=True,
+            max_rows=_W2ROWS, max_keys=_w2keys(Bp), with_slots=True,
         )
         np.asarray(ck[:1])
         Bp <<= 1

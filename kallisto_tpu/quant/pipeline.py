@@ -351,11 +351,14 @@ def _turbo_exceptions(batches, Bp: int) -> Optional[np.ndarray]:
 # above _W2MAX split into multiple dispatches
 _W2MIN = 1 << 14
 _W2MAX = 1 << 18
-# wave-2 key-histogram capacity: human-scale EC diversity produces far
-# more than 32k distinct keys per slice (the overflow fallback re-ran
-# whole batches through the per-read path); _fetch_ck transfers only the
-# occupied prefix, so a big table costs device memory, not link bytes
-_W2KEYS = 1 << 17
+# wave-2 key-histogram capacity = slice capacity + 1: a pair contributes
+# at most one key, so the table can NEVER overflow (at human scale nearly
+# every failing pair carries a distinct key and the old fixed 32k/128k
+# tables overflowed constantly, demoting whole batches to the per-read
+# path); _fetch_ck transfers only the occupied prefix, so capacity costs
+# device memory, not link bytes
+def _w2keys(Bp: int) -> int:
+    return Bp + 1
 # wave-2 per-read row budget: human-scale reads can touch more than 16
 # distinct EC rows; an overflowing read used to demote its whole batch to
 # the per-read path (the third human-scale bottleneck)
@@ -455,6 +458,35 @@ def _make_pair_fetcher(r1, r2, s1: _SideArrays, s2: _SideArrays,
         out = _gather_pair_exemplars(
             r1, r2, jnp.asarray(idxp), k, min_range, strand_key, pos_key
         )
+        return np.asarray(out)[: idx.shape[0]]
+
+    return fetch
+
+
+@jax.jit
+def _gather_pair_slim(r1, r2, idx):
+    """Slim exemplar gather for the bulk simple-key resolver: first two
+    rows per mate + base flags (20 B/key d2h instead of the full
+    exemplar; at human scale nearly every key is new, so exemplar bytes
+    were a first-order link cost)."""
+    flags = (
+        r1.has_hits[idx].astype(jnp.int32)
+        + 2 * r2.has_hits[idx].astype(jnp.int32)
+        + 4 * r1.overflow[idx].astype(jnp.int32)
+        + 8 * r2.overflow[idx].astype(jnp.int32)
+    )
+    return jnp.stack(
+        [r1.rows[idx, 0], r1.rows[idx, 1],
+         r2.rows[idx, 0], r2.rows[idx, 1], flags], axis=1,
+    )
+
+
+def _make_pair_slim_fetcher(r1, r2):
+    def fetch(idx: np.ndarray) -> np.ndarray:
+        pad = _pad_pow2(idx.shape[0])
+        idxp = np.zeros(pad, np.int64)
+        idxp[: idx.shape[0]] = idx
+        out = _gather_pair_slim(r1, r2, jnp.asarray(idxp))
         return np.asarray(out)[: idx.shape[0]]
 
     return fetch
@@ -942,8 +974,8 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 _pad_rows(hk.fail_vsum[pos], Bp),
                 _pad_rows(side.astype(np.int32), Bp), aux, k=k, L=b1.Lp,
                 max_rows=_W2ROWS,
-                max_keys=_W2KEYS, min_range=mr_key, strand_key=sk, rl=rl,
-                pos_fl=pf_fl, pos_depth=pf_depth, with_slots=True,
+                max_keys=_w2keys(Bp), min_range=mr_key, strand_key=sk,
+                rl=rl, pos_fl=pf_fl, pos_depth=pf_depth, with_slots=True,
             )
             devs.append(out[:3] + (sub,) + out[3:])
             lo += take
@@ -962,8 +994,8 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
                 didx, _pad_rows(b1.packed[sub], Bp),
                 _pad_rows(b2.packed[sub], Bp), aux, k=k, L=b1.Lp,
                 max_rows=_W2ROWS,
-                max_keys=_W2KEYS, min_range=mr_key, strand_key=sk, rl=rl,
-                pos_fl=pf_fl, pos_depth=pf_depth, with_slots=True,
+                max_keys=_w2keys(Bp), min_range=mr_key, strand_key=sk,
+                rl=rl, pos_fl=pf_fl, pos_depth=pf_depth, with_slots=True,
             )
             devs.append(out[:3] + (sub,) + out[3:])
             lo += take
@@ -997,14 +1029,17 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             if paired:
                 s1, s2 = _SideArrays(r1), _SideArrays(r2)
                 fetch = _make_pair_fetcher(r1, r2, s1, s2, k, mr_key, sk, pk)
+                sfetch = _make_pair_slim_fetcher(r1, r2)
+                slim = lambda sel, sfetch=sfetch, fl=fl: sfetch(fl[sel])
             else:
                 fetch = _make_single_fetcher(
                     r1, _SideArrays(r1), k, mr_key, sk, pk
                 )
+                slim = None
             parts.append((
                 np.ascontiguousarray(uniq_h[valid]), occ[valid], gf,
                 lambda sel, fetch=fetch, fl=fl: fetch(fl[sel]),
-                int(r1.rows.shape[1]),
+                int(r1.rows.shape[1]), slim,
             ))
         return parts, valids, True
 
@@ -1020,9 +1055,12 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             if ok:
                 if hk.h128.shape[0]:
                     ex = hk.exemplars
+                    Rh = hostprobe.R
                     parts.insert(0, (
                         hk.h128, hk.occ, hk.first_idx,
-                        lambda sel, ex=ex: ex[sel], hostprobe.R,
+                        lambda sel, ex=ex: ex[sel], Rh,
+                        lambda sel, ex=ex, Rh=Rh:
+                            ex[sel][:, [0, 1, Rh, Rh + 1, 2 * Rh]],
                     ))
                 key_ecs = resolver.process_compact_parts(
                     parts, paired=True,
@@ -1114,9 +1152,12 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             if ok:
                 if hk.h128.shape[0]:
                     ex = hk.exemplars
+                    Rh = hostprobe.R
                     parts.insert(0, (
                         hk.h128, hk.occ, hk.first_idx,
-                        lambda sel, ex=ex: ex[sel], hostprobe.R,
+                        lambda sel, ex=ex: ex[sel], Rh,
+                        lambda sel, ex=ex, Rh=Rh:
+                            ex[sel][:, [0, 1, Rh, Rh + 1, 2 * Rh]],
                     ))
                 resolver.process_compact_parts(
                     parts, paired=True, do_union=opt.do_union
@@ -1381,8 +1422,8 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             r1, ckflat = pseudoalign_single_turbo(
                 didx, _pad_rows(b1.packed[sub], Bp), aux, k=k, L=b1.Lp,
                 max_rows=_W2ROWS,
-                max_keys=_W2KEYS, min_range=mr_key, strand_key=sk, rl=rl,
-                pos_fl=pf_fl, pos_depth=pf_depth,
+                max_keys=_w2keys(Bp), min_range=mr_key, strand_key=sk,
+                rl=rl, pos_fl=pf_fl, pos_depth=pf_depth,
             )
             devs.append((r1, ckflat, sub))
             lo += take
