@@ -1669,9 +1669,13 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             batch_iter = _split_first_pair_batch(batch_iter)
         # pipelined loop, depth 2: two batches in flight (uploading /
         # computing) while the oldest resolves on host -- keeps the
-        # host->device link busy end to end.  While FLD learning is active
-        # the pipeline drains first so the want_fld decision sees fresh
-        # tlencount (full mode transfers per-read data and is much slower).
+        # host->device link busy end to end.  When the fast FLD path is
+        # available, FLD learning pipelines too (a batch dispatched in
+        # want_fld mode after the goal is reached just carries unused
+        # fragment lengths -- the subsample still caps at the first 10k in
+        # read order); only the SLOW full-transfer FLD mode (no host
+        # probe / varlen reads) drains per batch so want_fld flips
+        # promptly.
         from collections import deque
 
         pend = deque()
@@ -1681,8 +1685,10 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
             process_pair(ctx)
             progress.update(ctx[1].n, num_processed)
 
+        fld_pipelines = hostprobe is not None
         for b1, b2 in batch_iter:
-            if estimate_fld and tlencount < flen_goal:
+            if (estimate_fld and tlencount < flen_goal
+                    and not fld_pipelines):
                 while pend:
                     _drain_one()
             want_fld = estimate_fld and tlencount < flen_goal
