@@ -226,10 +226,24 @@ def probe_layout(index) -> ProbeLayout:
     return ProbeLayout(mk, order, p, bucket_start, counts)
 
 
+def cached_probe_layout(index) -> ProbeLayout:
+    """Memoized probe_layout: the argsort over ~1e8 mixed keys costs
+    ~15 s at human scale and every quant/bus invocation on the same
+    loaded index can share it."""
+    lay = getattr(index, "_probe_layout_cache", None)
+    if lay is None:
+        lay = probe_layout(index)
+        try:
+            index._probe_layout_cache = lay
+        except Exception:
+            pass
+    return lay
+
+
 def device_index_from_host(index, with_pos_tables: bool = False,
                            layout: Optional[ProbeLayout] = None):
     if layout is None:
-        layout = probe_layout(index)
+        layout = cached_probe_layout(index)
     mk, order, p, counts = layout.mk, layout.order, layout.p, layout.counts
     bucket_start = layout.bucket_start.astype(np.int32)
     # anchor-kernel invariant: block ids are unitig-major and consecutive

@@ -727,9 +727,9 @@ def run_quant(opt: Options, index: Optional[TpuIndex] = None) -> QuantResult:
     # be active (explicit -l without --single-overhang); bases are
     # fl-independent so the tables are usable for any fl
     pos_active = opt.fld_mean > 0 and not opt.single_overhang
-    from ..ops.pseudoalign import probe_layout
+    from ..ops.pseudoalign import cached_probe_layout
 
-    layout = probe_layout(index)
+    layout = cached_probe_layout(index)
     didx = device_index_from_host(
         index, with_pos_tables=pos_active, layout=layout
     )
